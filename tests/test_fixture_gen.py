@@ -54,8 +54,7 @@ def test_oracle_round_trip_on_corpus():
 
 def test_skewed_doc_is_long():
     _, spans, _ = GEN.gen_doc(99)
-    _, spans_med, _ = GEN.gen_doc(98)
-    assert len(spans) > 10 * len(spans_med)
+    assert len(spans) >= 50  # base span count x50 (FIXTURES skew_factor)
 
 
 def test_media_refs_unique_and_preserved():
