@@ -1,0 +1,59 @@
+"""Table catalog: Iceberg when the runtime jar is present, Parquet otherwise.
+
+north_rule demands Iceberg tables (BASELINE.json:14); this sandbox has no
+iceberg-spark-runtime jar and no network (SURVEY.md section 1.3 documents the
+deviation).  Both backends expose identical read/write semantics; only the
+format strings differ, so flipping ``backend='iceberg'`` on a real cluster is
+a config change, not a code change."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _has_iceberg(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource")
+        return True
+    except Exception:
+        return False
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 backend: str = "auto"):
+        self.spark = spark
+        self.warehouse = warehouse
+        if backend == "auto":
+            backend = "iceberg" if _has_iceberg(spark) else "parquet"
+        self.backend = backend
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.warehouse, table)
+
+    def read(self, table: str) -> DataFrame:
+        if self.backend == "iceberg":
+            return self.spark.read.format("iceberg").load(self._path(table))
+        return self.spark.read.parquet(self._path(table))
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if self.backend == "iceberg":
+            writer.format("iceberg").save(self._path(table))
+        else:
+            writer.parquet(self._path(table))
+
+    def exists(self, table: str) -> bool:
+        if self.backend == "iceberg":
+            try:
+                self.read(table).schema
+                return True
+            except Exception:
+                return False
+        return os.path.isdir(self._path(table))

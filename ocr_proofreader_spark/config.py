@@ -1,0 +1,30 @@
+"""Run configuration for the proofreading engine."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RunConfig:
+    """Knobs for one proofreading run (SURVEY.md sections 3-4).
+
+    Scale notes (100 TB / 10^12 docs): the hot path is shuffle-free
+    (mapInPandas per doc); ``nsalt`` + ``repartitionByRange`` only
+    rebalance input partitions; docs longer than ``chunk_threshold_spans``
+    take the chunked skew path (distributed word_freq + per-chunk
+    correction) instead of a single task.
+    """
+
+    run_id: str = "run-0"
+    lexicon_path: str = field(default_factory=lambda: os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "lexicon_base.txt"))
+    freq_k: int = 5                     # S11: book word freq >= K joins lexicon
+    nsalt: int = 8                      # S4 salting fan-out
+    rebalance_partitions: int | None = None  # None -> leave input partitioning
+    chunk_threshold_spans: int = 512    # docs above this take the skew path
+    chunk_spans: int = 64               # spans per chunk on the skew path
+    num_buckets: int = 16               # resumability unit (S2/S16)
+    arrow_batch_docs: int = 256         # spark.sql.execution.arrow.maxRecordsPerBatch

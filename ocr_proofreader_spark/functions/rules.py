@@ -1,0 +1,385 @@
+"""Engine-side implementation of the frozen proofreading rules R1-R6
+(SURVEY.md section 2.3).
+
+This is the FAST implementation that runs inside Arrow-vectorized UDFs on
+executors.  It is written independently from the slow pure-Python oracle
+(``oracle/refsem.py``); tests demand span-sequence equality between the two
+on every document (BASELINE.json:15).  Optimizations over the oracle:
+
+* (first-letter, length)-bucketed lexicon index -> candidate scans touch a
+  handful of words instead of the whole dictionary;
+* per-document memoization -> each unique token is corrected once;
+* common-prefix/suffix stripping + banded DP for the distance<=2 check;
+* known-token fast path via a single set probe.
+
+No Spark imports here: the module is picklable into Python workers and unit
+-testable on plain lists/pandas Series.
+"""
+
+from __future__ import annotations
+
+import re
+
+# --- R1 tokenization (identical character classes to the frozen spec) -----
+TOKEN_RE = re.compile(r"[A-Za-zÀ-ÿ0-9'’-]+")
+ALPHA_RE = re.compile(r"[A-Za-zÀ-ÿ]+\Z")
+HAS_LETTER_RE = re.compile(r"[A-Za-zÀ-ÿ]")
+LOWER_RE = re.compile(r"[a-zà-ÿ]")
+UPPER_RE = re.compile(r"[A-ZÀ-Þ]")
+
+HYPHEN_TAIL_RE = re.compile(r"([A-Za-zÀ-ÿ]+)-\Z")
+WORD_HEAD_RE = re.compile(r"[A-Za-zÀ-ÿ]+")
+
+LIG_TRANSLATE = str.maketrans({
+    "ﬁ": "fi", "ﬂ": "fl", "ﬀ": "ff", "ﬃ": "ffi", "ﬄ": "ffl", "ſ": "s"})
+LIG_CHARS = "ﬁﬂﬀﬃﬄſ"
+COND_LIG_TRANSLATE = str.maketrans({"Æ": "Ae", "æ": "ae", "Œ": "Oe", "œ": "oe"})
+COND_LIG_CHARS = "Ææ Œœ".replace(" ", "")
+
+HEADING_RE = re.compile(r"^(CHAPTER|CHAPITRE|BOOK|PART)\b[A-Z0-9 .IVXLC-]*$")
+
+FS_SWAP = {"f": "s", "s": "f"}
+
+
+def dist_le2(a: str, b: str) -> int:
+    """Levenshtein distance if <= 2, else 3.  Prefix/suffix strip + banded
+    DP (band half-width 2)."""
+    la, lb = len(a), len(b)
+    if a == b:
+        return 0
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la > 2:
+        return 3
+    # strip common prefix / suffix
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    j = 0
+    while j < la - i and a[la - 1 - j] == b[lb - 1 - j]:
+        j += 1
+    a = a[i:la - j]
+    b = b[i:lb - j]
+    m, n = len(a), len(b)
+    if m == 0:
+        return n if n <= 2 else 3
+    prev = list(range(n + 1))
+    for r in range(1, m + 1):
+        ca = a[r - 1]
+        cur = [r]
+        row_min = r
+        for c in range(1, n + 1):
+            cost = 0 if ca == b[c - 1] else 1
+            v = min(prev[c] + 1, cur[c - 1] + 1, prev[c - 1] + cost)
+            cur.append(v)
+            if v < row_min:
+                row_min = v
+        if row_min > 2:
+            return 3
+        prev = cur
+    d = prev[n]
+    return d if d <= 2 else 3
+
+
+class LexIndex:
+    """Base-lexicon index: membership set + (first, len) buckets."""
+
+    __slots__ = ("base", "buckets")
+
+    def __init__(self, base: frozenset):
+        self.base = base
+        buckets: dict[tuple[str, int], list[str]] = {}
+        for w in sorted(base):
+            buckets.setdefault((w[0], len(w)), []).append(w)
+        self.buckets = buckets
+
+    def bucket_candidates(self, first: str, length: int):
+        for ln in range(max(1, length - 2), length + 3):
+            lst = self.buckets.get((first, ln))
+            if lst:
+                yield from lst
+
+
+def recase(candidate: str, original: str) -> str:
+    if original.isupper() and len(original) > 1:
+        return candidate.upper()
+    if original[:1].isupper():
+        return candidate[:1].upper() + candidate[1:]
+    return candidate
+
+
+class DocProofreader:
+    """Proofreads one document (rules R1-R6) with per-doc memoization.
+
+    ``freq``: per-book raw-token frequencies; computed from the spans
+    themselves when None (the shuffle-free fast path), or injected by the
+    chunked skew path where a chunk cannot see the whole book."""
+
+    __slots__ = ("lex", "freq_k", "freq", "_freq_buckets", "_memo",
+                 "corrections", "flagged")
+
+    def __init__(self, lex: LexIndex, freq_k: int = 5,
+                 freq: dict[str, int] | None = None):
+        self.lex = lex
+        self.freq_k = freq_k
+        self.freq = freq if freq is not None else {}
+        self._freq_buckets: dict[tuple[str, int], list[str]] | None = None
+        self._memo: dict[str, tuple[str, int, int]] = {}
+        self.corrections = 0
+        self.flagged = 0
+
+    # -- lexicon membership -------------------------------------------------
+
+    def known(self, tok: str) -> bool:
+        w = tok.lower()
+        if w in self.lex.base:
+            return True
+        return (self.freq.get(w, 0) >= self.freq_k
+                and ALPHA_RE.match(w) is not None)
+
+    def count_freq(self, spans) -> None:
+        freq = self.freq
+        for sp in spans:
+            if sp["kind"] == "text" and sp["text"]:
+                for tok in TOKEN_RE.findall(sp["text"]):
+                    w = tok.lower()
+                    freq[w] = freq.get(w, 0) + 1
+
+    def _frequent_candidates(self, first: str, length: int):
+        """Book-frequent words (freq >= K, alphabetic) in the R4 bucket."""
+        if self._freq_buckets is None:
+            fb: dict[tuple[str, int], list[str]] = {}
+            for w, c in self.freq.items():
+                if c >= self.freq_k and w not in self.lex.base \
+                        and ALPHA_RE.match(w):
+                    fb.setdefault((w[0], len(w)), []).append(w)
+            for lst in fb.values():
+                lst.sort()
+            self._freq_buckets = fb
+        for ln in range(max(1, length - 2), length + 3):
+            lst = self._freq_buckets.get((first, ln))
+            if lst:
+                yield from lst
+
+    # -- R2 ------------------------------------------------------------------
+
+    def repair_hyphenation(self, lines: list[str]) -> list[str]:
+        # fast path: no line ends with '-'
+        if not any(ln.rstrip().endswith("-") for ln in lines):
+            return lines
+        lines = list(lines)
+        i = 0
+        while i < len(lines) - 1:
+            tail = HYPHEN_TAIL_RE.search(lines[i].rstrip())
+            if tail:
+                nxt = lines[i + 1].lstrip()
+                head = WORD_HEAD_RE.match(nxt)
+                if head:
+                    joined = tail.group(1) + head.group(0)
+                    if self.known(joined):
+                        stripped = lines[i].rstrip()
+                        prefix = stripped[:len(stripped)
+                                          - len(tail.group(1)) - 1]
+                        rem = nxt[len(head.group(0)):].lstrip()
+                        lines[i] = prefix + joined + ((" " + rem) if rem
+                                                      else "")
+                        del lines[i + 1]
+                        self.corrections += 1
+                        continue
+            i += 1
+        return lines
+
+    # -- R3b -----------------------------------------------------------------
+
+    def _long_s_fix(self, tok: str) -> str | None:
+        positions = [i for i, c in enumerate(tok) if c == "f" or c == "s"]
+        if not positions:
+            return None
+        best = None  # (n_swaps, -freq, variant_lower) -> variant
+        for ai, i in enumerate(positions):
+            v1 = tok[:i] + FS_SWAP[tok[i]] + tok[i + 1:]
+            if self.known(v1):
+                k = (1, -self.freq.get(v1.lower(), 0), v1.lower())
+                if best is None or k < best[0]:
+                    best = (k, v1)
+            for j in positions[ai + 1:]:
+                v2 = v1[:j] + FS_SWAP[v1[j]] + v1[j + 1:]
+                if self.known(v2):
+                    k = (2, -self.freq.get(v2.lower(), 0), v2.lower())
+                    if best is None or k < best[0]:
+                        best = (k, v2)
+        return best[1] if best else None
+
+    # -- R4 ------------------------------------------------------------------
+
+    def _scorer_fix(self, tok: str) -> str | None:
+        t = tok.lower()
+        first = t[0]
+        L = len(t)
+        best_key = None
+        best_cand = None
+        freq = self.freq
+        for cand in self.lex.bucket_candidates(first, L):
+            d = dist_le2(t, cand)
+            if d > 2:
+                continue
+            key = (d, -freq.get(cand, 0), abs(len(cand) - L), cand)
+            if best_key is None or key < best_key:
+                best_key, best_cand = key, cand
+        for cand in self._frequent_candidates(first, L):
+            d = dist_le2(t, cand)
+            if d > 2:
+                continue
+            key = (d, -freq.get(cand, 0), abs(len(cand) - L), cand)
+            if best_key is None or key < best_key:
+                best_key, best_cand = key, cand
+        if best_cand is None:
+            return None
+        d = best_key[0]
+        f = -best_key[1]
+        if d == 1 or (d == 2 and f >= 3):
+            return recase(best_cand, tok)
+        return None
+
+    # -- per-token dispatch (memoized) ----------------------------------------
+
+    def correct_token(self, tok: str) -> str:
+        hit = self._memo.get(tok)
+        if hit is not None:
+            out, dc, df = hit
+            self.corrections += dc
+            self.flagged += df
+            return out
+        out, dc, df = self._correct_token_uncached(tok)
+        self._memo[tok] = (out, dc, df)
+        self.corrections += dc
+        self.flagged += df
+        return out
+
+    def _correct_token_uncached(self, tok: str) -> tuple[str, int, int]:
+        if self.known(tok):
+            return tok, 0, 0
+        if any(c in COND_LIG_CHARS for c in tok):
+            mapped = tok.translate(COND_LIG_TRANSLATE)
+            if self.known(mapped):
+                return mapped, 1, 0
+        if ALPHA_RE.match(tok) and ("f" in tok or "s" in tok):
+            fixed = self._long_s_fix(tok)
+            if fixed is not None:
+                return fixed, 1, 0
+        if ALPHA_RE.match(tok) and len(tok) >= 3:
+            if tok[0].isupper():
+                return tok, 0, 1  # capitalized unknown: flag, never edit
+            fixed = self._scorer_fix(tok)
+            if fixed is not None:
+                return fixed, 1, 0
+            return tok, 0, 1
+        if HAS_LETTER_RE.search(tok):
+            return tok, 0, 1
+        return tok, 0, 0
+
+    # -- per-line R3a + token pass --------------------------------------------
+
+    def correct_line(self, line: str) -> str:
+        if any(c in LIG_CHARS for c in line):
+            mapped = line.translate(LIG_TRANSLATE)
+            if mapped != line:
+                self.corrections += 1
+            line = mapped
+        # fast path: every token known (single pass, no rebuild)
+        parts = None
+        pos = 0
+        for mt in TOKEN_RE.finditer(line):
+            tok = mt.group(0)
+            fixed = self.correct_token(tok)
+            if parts is None and fixed == tok:
+                continue
+            if parts is None:
+                parts = [line[:mt.start()]]
+                pos = mt.start()
+            parts.append(line[pos:mt.start()])
+            parts.append(fixed)
+            pos = mt.end()
+        if parts is None:
+            return line
+        parts.append(line[pos:])
+        return "".join(parts)
+
+    # -- R5/R6 segmentation -----------------------------------------------------
+
+    @staticmethod
+    def is_heading(stripped: str, prev_blank: bool, next_blank: bool) -> bool:
+        if HEADING_RE.match(stripped):
+            return True
+        return (prev_blank and next_blank
+                and LOWER_RE.search(stripped) is None
+                and UPPER_RE.search(stripped) is not None
+                and len(TOKEN_RE.findall(stripped)) <= 6)
+
+    def run(self, spans) -> tuple[list[tuple[str, str, str, int]], int]:
+        """Full pipeline for one doc -> (out span tuples, input span count).
+
+        ``spans``: sequence of dicts kind/text/media_ref/offset, any order.
+        Out tuples: (kind, text, media_ref, order)."""
+        spans = sorted(spans, key=lambda s: s["offset"])
+        if not self.freq:
+            self.count_freq(spans)
+
+        out: list[tuple[str, str, str, int]] = []
+        para: list[str] = []
+        deferred: list[str] = []
+
+        def emit(kind: str, text: str, media_ref: str) -> None:
+            out.append((kind, text, media_ref, len(out)))
+
+        def close_para() -> None:
+            if para:
+                emit("paragraph", " ".join(para), "")
+                para.clear()
+            if deferred:
+                for ref in deferred:
+                    emit("media", "", ref)
+                deferred.clear()
+
+        for sp in spans:
+            if sp["kind"] == "media":
+                if para:
+                    deferred.append(sp["media_ref"] or "")
+                else:
+                    emit("media", "", sp["media_ref"] or "")
+                continue
+            text = sp["text"] or ""
+            if not text.strip():
+                continue  # blank page: emits nothing, paragraph stays open
+            lines = text.split("\n")
+            lines = self.repair_hyphenation(lines)
+            lines = [self.correct_line(ln) for ln in lines]
+
+            heading_buf: list[str] = []
+            n = len(lines)
+            stripped = [ln.strip() for ln in lines]
+            for idx in range(n):
+                s = stripped[idx]
+                if not s:
+                    if heading_buf:
+                        emit("chapter", " ".join(heading_buf), "")
+                        heading_buf.clear()
+                    close_para()
+                    continue
+                prev_blank = idx == 0 or not stripped[idx - 1]
+                next_blank = idx == n - 1 or not stripped[idx + 1]
+                if self.is_heading(s, prev_blank, next_blank):
+                    close_para()
+                    heading_buf.append(s)
+                else:
+                    if heading_buf:
+                        emit("chapter", " ".join(heading_buf), "")
+                        heading_buf.clear()
+                    para.append(s)
+            if heading_buf:
+                emit("chapter", " ".join(heading_buf), "")
+                heading_buf.clear()
+            # paragraph stays open across the span boundary (R6)
+
+        close_para()
+        return out, len(spans)
