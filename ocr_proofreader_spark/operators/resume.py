@@ -1,0 +1,134 @@
+"""S2/S15/S16: checkpointed resumability with per-partition lineage.
+
+Unit of replay = a deterministic hash bucket of doc_id (stable across runs
+and cluster sizes).  Protocol per bucket:
+
+1. proofread the bucket's docs (full cluster parallelism inside the bucket),
+2. write output to ``<out>/_tmp/<run_id>/<bucket>``,
+3. atomic rename to ``<out>/data/bucket=<b>``,
+4. write the marker ``<out>/_markers/<b>.done`` and append a lineage row.
+
+A killed job leaves unfinished buckets markerless; on restart with the same
+output root, only markerless buckets replay (exactly-once at bucket level —
+the rules are deterministic, so a replay is byte-identical).  On Iceberg the
+same protocol rides on snapshot commits instead of directory renames
+(SURVEY.md section 3.3); the local-FS rename here matches the parquet
+backend of catalog.py.
+
+The anti-join form of the resume filter (SURVEY.md S2) is exposed as
+``resume_filter`` for single-shot plans and the driver cross-checks."""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_proofreader_spark.config import RunConfig
+from ocr_proofreader_spark.operators.proofread import proofread
+from ocr_proofreader_spark.schemas import LINEAGE
+
+
+def bucket_col(num_buckets: int):
+    """Deterministic doc_id -> bucket (stable across runs/parallelism)."""
+    return F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
+
+
+def resume_filter(docs: DataFrame, done: DataFrame,
+                  num_buckets: int) -> DataFrame:
+    """S2: drop docs whose bucket already completed (broadcast anti-join)."""
+    return (docs.withColumn("_bucket", bucket_col(num_buckets))
+            .join(F.broadcast(done.select(F.col("partition_id")
+                                          .alias("_bucket")).distinct()),
+                  "_bucket", "left_anti")
+            .drop("_bucket"))
+
+
+class ResumableRunner:
+    def __init__(self, spark: SparkSession, out_root: str, cfg: RunConfig,
+                 lex_bc):
+        self.spark = spark
+        self.out_root = out_root
+        self.cfg = cfg
+        self.lex_bc = lex_bc
+        self.data_dir = os.path.join(out_root, "data")
+        self.marker_dir = os.path.join(out_root, "_markers")
+        self.lineage_dir = os.path.join(out_root, "lineage")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.marker_dir, exist_ok=True)
+
+    # -- bookkeeping -------------------------------------------------------
+
+    def done_buckets(self) -> set[int]:
+        return {int(f[:-5]) for f in os.listdir(self.marker_dir)
+                if f.endswith(".done")}
+
+    def _attempt(self, bucket: int) -> int:
+        if not os.path.isdir(self.lineage_dir):
+            return 1
+        prior = (self.spark.read.parquet(self.lineage_dir)
+                 .filter(F.col("partition_id") == bucket).count())
+        return prior + 1
+
+    def _append_lineage(self, row: dict) -> None:
+        df = self.spark.createDataFrame([row], LINEAGE)
+        df.coalesce(1).write.mode("append").parquet(self.lineage_dir)
+
+    # -- the run -------------------------------------------------------------
+
+    def run(self, docs: DataFrame, fail_after: int | None = None) -> None:
+        """Process all pending buckets; ``fail_after`` injects a crash after
+        N completed buckets (SURVEY.md test 5.2-6)."""
+        cfg = self.cfg
+        done = self.done_buckets()
+        bucketed = docs.withColumn("_bucket", bucket_col(cfg.num_buckets))
+        completed_this_run = 0
+        for b in range(cfg.num_buckets):
+            if b in done:
+                continue
+            if fail_after is not None and completed_this_run >= fail_after:
+                raise RuntimeError(f"injected failure before bucket {b}")
+            t0 = time.time()
+            part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
+            out = proofread(self.spark, part, cfg, self.lex_bc)
+            obs = Observation(f"lineage-{b}")
+            observed = out.observe(
+                obs,
+                F.count("*").alias("doc_count"),
+                F.coalesce(F.sum("span_count"), F.lit(0)).alias("span_count"),
+                F.coalesce(F.sum("corrections"), F.lit(0)).alias("corrections"),
+                F.coalesce(F.sum("flagged"), F.lit(0)).alias("flagged"),
+            ).drop("span_count", "corrections", "flagged")
+
+            tmp = os.path.join(self.out_root, "_tmp", cfg.run_id, str(b))
+            final = os.path.join(self.data_dir, f"bucket={b}")
+            observed.write.mode("overwrite").parquet(tmp)
+            metrics = obs.get
+            if os.path.isdir(final):  # stale partial from a dead run
+                import shutil
+                shutil.rmtree(final)
+            os.rename(tmp, final)
+            self._append_lineage({
+                "run_id": cfg.run_id,
+                "partition_id": b,
+                "doc_count": int(metrics["doc_count"]),
+                "span_count": int(metrics["span_count"]),
+                "corrections": int(metrics["corrections"]),
+                "flagged": int(metrics["flagged"]),
+                "status": "ok",
+                "wall_ms": int((time.time() - t0) * 1000),
+                "attempt": self._attempt(b),
+                "finished_at": datetime.now(timezone.utc),
+            })
+            with open(os.path.join(self.marker_dir, f"{b}.done"), "w") as fh:
+                fh.write(cfg.run_id)
+            completed_this_run += 1
+
+    def read_output(self) -> DataFrame:
+        return self.spark.read.parquet(self.data_dir)
+
+    def read_lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self.lineage_dir)

@@ -1,0 +1,48 @@
+"""S10/S11: per-book word frequencies and the correction lexicon as
+first-class derived datasets (BASELINE.json:6).
+
+Pure DataFrame aggregations: Catalyst plans a partial+final hash aggregate
+for the groupBy, so map-side combine keeps the shuffle small; the only
+Python is the Arrow-vectorized R1 tokenizer."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_proofreader_spark.operators.proofread import tokens_udf
+
+
+def word_freq(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) -> word_freq(doc_id, word, freq).
+
+    Frequencies are counted over RAW (pre-correction) text span tokens,
+    lowercased — the same signal the in-UDF scorer uses, so this table IS
+    the engine's scoring input, materialized."""
+    toks = tokens_udf()
+    spans = docs.select(
+        "doc_id", F.explode("spans").alias("span"))
+    return (spans
+            .filter(F.col("span.kind") == "text")
+            .select("doc_id", F.explode(toks(F.col("span.text")))
+                    .alias("word"))
+            .groupBy("doc_id", "word")
+            .agg(F.count("*").alias("freq")))
+
+
+def lexicon_table(spark: SparkSession, base: frozenset,
+                  wf: DataFrame, freq_k: int = 5) -> DataFrame:
+    """S11: base dictionary UNION book-frequent words -> lexicon(word, source).
+
+    Book-frequent = alphabetic and freq >= K within some book.  `distinct`
+    is a hash aggregate; the base side is parallelized from the driver (a
+    few hundred KB at most)."""
+    base_df = spark.createDataFrame([(w, "base") for w in sorted(base)],
+                                    "word string, source string")
+    frequent = (wf
+                .filter((F.col("freq") >= freq_k)
+                        & F.col("word").rlike(r"^[A-Za-zÀ-ÿ]+$"))
+                .select("word").distinct()
+                .join(base_df.select("word"), "word", "left_anti")
+                .withColumn("source", F.lit("book_frequent")))
+    return base_df.unionByName(frequent)
