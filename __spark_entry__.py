@@ -1,38 +1,337 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
-"""
+``entry(spark)`` runs the flagship proofreading pipeline on sf0.001;
+``queries()`` exposes the engine's operators over the driver testdata;
+``oracle_sql()`` gives DuckDB twins for every SQL-expressible query
+(hashes are md5-based so both engines agree bit-for-bit; floats are
+rounded AFTER ranking).  Non-SQL entries (the proofreading pipeline
+itself, LSH ANN, multimodal plumbing) get the driver's rows-only check
+plus the pytest oracle-parity suite (SURVEY.md section 5)."""
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship pipeline plumbing
+
+
+def _corpus_lexicon(spark: SparkSession, flat: DataFrame,
+                    min_freq: int = 20) -> frozenset:
+    """Base dictionary + corpus-frequent words (S11 over the derived
+    corpus), collected once and broadcast-ready."""
+    from ocr_proofreader_spark.config import RunConfig
+    from ocr_proofreader_spark.lexicon import load_base_lexicon
+    base = load_base_lexicon(RunConfig().lexicon_path)
+    frequent = (flat
+                .select(F.explode(F.expr(
+                    "filter(split(lower(text), ' '), w -> w <> '')"))
+                    .alias("w"))
+                .groupBy("w").count()
+                .filter(F.col("count") >= min_freq)
+                .collect())
+    return frozenset(base | {r["w"] for r in frequent})
+
+
+def _proofread_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_proofreader_spark.config import RunConfig
+    from ocr_proofreader_spark.lexicon import broadcast_lexicon
+    from ocr_proofreader_spark.operators.proofread import proofread
+    from ocr_proofreader_spark.sources.interleaved import interleaved_from_flat
+
+    flat = _t(spark, sf_dir, "documents")
+    docs = interleaved_from_flat(flat)
+    lex = _corpus_lexicon(spark, flat)
+    return proofread(spark, docs, RunConfig(), broadcast_lexicon(spark, lex))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _proofread_docs(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ocr_proofreader_spark.operators import training_ops as ops
+    from ocr_proofreader_spark.operators.multimodal import (decode_media,
+                                                            media_inventory)
+    from ocr_proofreader_spark.operators.resume import bucket_col
+    from ocr_proofreader_spark.sources.interleaved import interleaved_from_flat
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def doc_word_freq(spark, sf):
+        return (_t(spark, sf, "documents")
+                .select("doc_id", F.explode(F.expr(
+                    "filter(split(text, ' '), w -> w <> '')")).alias("word"))
+                .groupBy("doc_id", "word")
+                .agg(F.count("*").alias("freq")))
+
+    def lexicon_frequent(spark, sf):
+        return (_t(spark, sf, "documents")
+                .select(F.explode(F.expr(
+                    "filter(split(text, ' '), w -> w <> '')")).alias("word"))
+                .groupBy("word").agg(F.count("*").alias("freq"))
+                .filter(F.col("freq") >= 100))
+
+    def resume_anti_join(spark, sf):
+        # S2 shape: drop keys already covered by the "done" side; the
+        # done-set here is customers with a high-value order
+        c = _t(spark, sf, "customer")
+        done = (_t(spark, sf, "orders")
+                .filter(F.col("o_totalprice") > 150000))
+        return (c.join(F.broadcast(done), c.c_custkey == done.o_custkey,
+                       "left_anti")
+                .select("c_custkey"))
+
+    def span_ordering(spark, sf):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (_t(spark, sf, "events")
+                .select("user_id", "event_id",
+                        F.row_number().over(w).cast("long").alias("rn")))
+
+    def lineage_rollup(spark, sf):
+        return (_t(spark, sf, "documents")
+                .groupBy("lang")
+                .agg(F.count("*").alias("docs"),
+                     F.sum("n_chars").alias("total_chars")))
+
+    def orders_rollup(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+                .groupBy("c_mktsegment")
+                .agg(F.count("*").alias("n_orders"),
+                     F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+    def bucket_assignment(spark, sf):
+        return (_t(spark, sf, "documents")
+                .select(F.col("doc_id").cast("string").alias("doc_id"))
+                .withColumn("bucket", bucket_col(16)))
+
+    return {
+        # engine-shaped relational ops (SURVEY.md section 2.5)
+        "doc_word_freq": doc_word_freq,
+        "lexicon_frequent": lexicon_frequent,
+        "resume_anti_join": resume_anti_join,
+        "span_ordering": span_ordering,
+        "lineage_rollup": lineage_rollup,
+        "orders_rollup": orders_rollup,
+        "bucket_assignment": bucket_assignment,
+        # text analysis
+        "token_count": lambda s, d: ops.token_count(_t(s, d, "documents")),
+        "quality_score": lambda s, d: ops.quality_score(
+            _t(s, d, "documents")).filter(F.col("n_tokens") > 0),
+        "lang_guess": lambda s, d: ops.lang_guess(_t(s, d, "documents")),
+        "doc_fingerprint": lambda s, d: ops.doc_fingerprint(
+            _t(s, d, "documents")),
+        # deduplication
+        "dedup_exact": lambda s, d: ops.dedup_exact(_t(s, d, "documents")),
+        "minhash_signatures": lambda s, d: ops.minhash_signatures(
+            _t(s, d, "documents")),
+        "minhash_candidates": lambda s, d: ops.minhash_candidates(
+            _t(s, d, "documents")),
+        "simhash": lambda s, d: ops.simhash(_t(s, d, "documents")),
+        "ngram_jaccard": lambda s, d: ops.ngram_jaccard(
+            _t(s, d, "documents")),
+        # similarity search
+        "embedding_norms": lambda s, d: ops.embedding_norms(
+            _t(s, d, "embeddings")),
+        "cosine_all": lambda s, d: ops.cosine_to_query(
+            _t(s, d, "embeddings")),
+        "ann_topk": lambda s, d: ops.ann_topk_brute(_t(s, d, "embeddings")),
+        # rows-only (non-SQL-expressible): flagship pipeline + ANN scale
+        # path + multimodal plumbing
+        "proofread_spans": lambda s, d: (
+            _proofread_docs(s, d)
+            .select("doc_id", F.explode("spans").alias("sp"))
+            .select("doc_id", F.col("sp.order").alias("ord"),
+                    F.col("sp.kind").alias("kind"),
+                    F.col("sp.text").alias("text"),
+                    F.col("sp.media_ref").alias("media_ref"))),
+        "proofread_doc_metrics": lambda s, d: (
+            _proofread_docs(s, d)
+            .select("doc_id", "span_count", "corrections", "flagged")),
+        "ann_topk_lsh": lambda s, d: ops.ann_topk_lsh(
+            _t(s, d, "embeddings")),
+        "label_centroid_sim": lambda s, d: ops.label_centroid_sim(
+            _t(s, d, "embeddings")),
+        "media_inventory": lambda s, d: media_inventory(
+            interleaved_from_flat(_t(s, d, "documents"))),
+        "media_decode": lambda s, d: decode_media(media_inventory(
+            interleaved_from_flat(_t(s, d, "documents")))),
+    }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+
+_TOKS = "list_filter(string_split(text, ' '), w -> w <> '')"
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                               for i in range(1, len(t)-1)])) AS shingle
+  FROM toks WHERE len(t) >= 3
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    simhash_votes = ", ".join(
+        f"sum(CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(8))
+    simhash_pack = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(8))
+    return {
+        "doc_word_freq": f"""
+            SELECT doc_id, word, count(*) AS freq
+            FROM (SELECT doc_id, unnest({_TOKS}) AS word FROM documents)
+            GROUP BY doc_id, word""",
+        "lexicon_frequent": f"""
+            SELECT word, count(*) AS freq
+            FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+            GROUP BY word HAVING count(*) >= 100""",
+        "resume_anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 150000)""",
+        "span_ordering": """
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events""",
+        "lineage_rollup": """
+            SELECT lang, count(*) AS docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang""",
+        "orders_rollup": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+        "token_count": f"""
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents""",
+        "quality_score": f"""
+            SELECT doc_id, n_tokens, n_chars,
+                   round(n_chars / n_tokens, 4) AS chars_per_token
+            FROM (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                         CAST(length(text) AS BIGINT) AS n_chars
+                  FROM documents)
+            WHERE n_tokens > 0""",
+        "lang_guess": """
+            SELECT doc_id, en_hits,
+                   CASE WHEN en_hits >= 2 THEN 'en' ELSE 'other' END
+                       AS lang_guess
+            FROM (SELECT doc_id,
+                         CAST(len(list_filter(string_split(text, ' '),
+                              w -> w IN ('the','a','of','and','in','to',
+                                         'is'))) AS BIGINT) AS en_hits
+                  FROM documents)""",
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM documents""",
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)""",
+        "minhash_signatures": f"""
+            WITH {_SHINGLES_CTE}
+            SELECT doc_id, band, min(md5(shingle || '|' || band)) AS sig
+            FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands
+            GROUP BY doc_id, band""",
+        "minhash_candidates": f"""
+            WITH {_SHINGLES_CTE},
+            sig AS (
+              SELECT doc_id, band, min(md5(shingle || '|' || band)) AS sig
+              FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands
+              GROUP BY doc_id, band)
+            SELECT a.doc_id AS d1, b.doc_id AS d2
+            FROM sig a JOIN sig b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            GROUP BY 1, 2""",
+        "simhash": f"""
+            WITH words AS (SELECT doc_id, unnest({_TOKS}) AS word
+                           FROM documents),
+            vals AS (SELECT doc_id,
+                            CAST(('0x' || substr(md5(word), 1, 2))
+                                 AS INTEGER) AS v
+                     FROM words),
+            votes AS (SELECT doc_id, {simhash_votes} FROM vals
+                      GROUP BY doc_id)
+            SELECT doc_id, CAST({simhash_pack} AS BIGINT) AS simhash
+            FROM votes""",
+        "ngram_jaccard": f"""
+            WITH docs100 AS (SELECT * FROM documents WHERE doc_id < 100),
+            toks AS (SELECT doc_id, {_TOKS} AS t FROM docs100),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                           for i in range(1, len(t)-1)]))
+                         AS shingle
+              FROM toks WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh
+                      GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT d1, d2,
+                   round(common / (s1.n_sh + s2.n_sh - common), 3)
+                       AS jaccard
+            FROM common
+            JOIN sizes s1 ON s1.doc_id = d1
+            JOIN sizes s2 ON s2.doc_id = d2""",
+        "embedding_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_sum([CAST(x AS DOUBLE) * x
+                                        for x in embedding])), 3) AS l2
+            FROM embeddings""",
+        "cosine_all": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_sum([CAST(embedding[i] AS DOUBLE) * qe[i]
+                                   for i in range(1, len(embedding)+1)])
+                         / (sqrt(list_sum([CAST(x AS DOUBLE) * x
+                                           for x in embedding]))
+                            * sqrt(list_sum([CAST(x AS DOUBLE) * x
+                                             for x in qe]))), 3) + 0.0
+                       AS cosine
+            FROM embeddings CROSS JOIN q""",
+        "ann_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings
+                       WHERE vec_id = 0),
+            cos AS (
+              SELECT vec_id,
+                     list_sum([CAST(embedding[i] AS DOUBLE) * qe[i]
+                               for i in range(1, len(embedding)+1)])
+                     / (sqrt(list_sum([CAST(x AS DOUBLE) * x
+                                       for x in embedding]))
+                        * sqrt(list_sum([CAST(x AS DOUBLE) * x
+                                         for x in qe]))) AS c
+              FROM embeddings CROSS JOIN q)
+            SELECT vec_id, round(c, 3) + 0.0 AS cosine
+            FROM cos ORDER BY c DESC, vec_id LIMIT 10""",
+        # NOTE: bucket_assignment (xxhash64), proofread_* (the frozen-rule
+        # pipeline), ann_topk_lsh, label_centroid_sim and media_* are not
+        # DuckDB-expressible -> rows-only checks; their correctness gate is
+        # the pytest oracle-parity suite (tests/test_spark_parity.py).
+    }

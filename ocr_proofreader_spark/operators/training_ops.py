@@ -1,0 +1,284 @@
+"""Training-data pipeline operators over the flat documents / embeddings
+tables: deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard),
+similarity search (brute-force cosine, LSH-bucketed ANN), and text
+analysis (token counts, quality score, language-ID heuristic, document
+fingerprint).
+
+Design rules:
+* everything stays JVM-side (built-in functions / higher-order lambdas)
+  except the LSH-projection ANN, which uses one Arrow-vectorized pass;
+* every SQL-expressible op has a DuckDB twin in ``__spark_entry__``
+  (hashes are md5-based so both engines agree bit-for-bit);
+* aggregations are partial+final hash aggregates; the only wide joins are
+  LSH-bucket self-joins whose build sides are tiny by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOKENS = "filter(split(text, ' '), w -> w <> '')"
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({TOKENS})").cast("long").alias("n_tokens"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    return (docs
+            .withColumn("n_tokens", F.expr(f"size({TOKENS})").cast("long"))
+            .select(
+                "doc_id", "n_tokens",
+                F.length("text").cast("long").alias("n_chars"),
+                F.round(F.length("text") / F.col("n_tokens"), 4)
+                .alias("chars_per_token")))
+
+
+EN_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+
+def lang_guess(docs: DataFrame) -> DataFrame:
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    hits = F.expr(
+        f"size(filter(split(text, ' '), w -> w IN ({stop_list})))") \
+        .cast("long")
+    return docs.select(
+        "doc_id", hits.alias("en_hits"),
+        F.when(hits >= 2, F.lit("en")).otherwise(F.lit("other"))
+        .alias("lang_guess"))
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """md5 of whitespace-normalized lowercase text (rolling-hash stand-in
+    that is portable across engines)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: keeper = min doc_id per hash."""
+    return (docs
+            .groupBy(F.md5(F.col("text")).alias("content_hash"))
+            .agg(F.min("doc_id").alias("keeper"),
+                 F.count("*").alias("n_copies")))
+
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id, shingle (distinct word n-grams)."""
+    return (docs
+            .withColumn("toks", F.expr(TOKENS))
+            .filter(F.expr(f"size(toks) >= {n}"))
+            .select("doc_id", F.explode(F.expr(
+                f"array_distinct(transform(sequence(0, size(toks)-{n}),"
+                f" i -> concat_ws(' ', slice(toks, i+1, {n}))))"))
+                .alias("shingle")))
+
+
+def minhash_signatures(docs: DataFrame, bands: int = 4) -> DataFrame:
+    """md5-based MinHash: one signature per (doc, band).
+
+    min(md5(shingle || '|' || band)) is a classic permutation-free MinHash
+    family; md5 keeps it engine-portable."""
+    sh = _shingles(docs)
+    return (sh
+            .select("doc_id", "shingle",
+                    F.explode(F.expr(f"sequence(0, {bands - 1})"))
+                    .alias("band"))
+            .groupBy("doc_id", "band")
+            .agg(F.min(F.md5(F.concat_ws("|", "shingle", "band")))
+                 .alias("sig")))
+
+
+def minhash_candidates(docs: DataFrame, bands: int = 4) -> DataFrame:
+    """LSH candidate duplicate pairs: docs sharing any band signature.
+
+    The self-join keys on (band, sig) — at scale the bucket sizes are the
+    skew concern; genuinely hot buckets (boilerplate docs) should be capped
+    or salted upstream, here volumes are tiny."""
+    sig = minhash_signatures(docs, bands)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("d1"),
+                    F.col("b.doc_id").alias("d2"))
+            .distinct())
+
+
+def simhash(docs: DataFrame, bits: int = 8) -> DataFrame:
+    """md5-based SimHash over the token stream (engine-portable).
+
+    Each token votes +-1 per bit of an 8-bit md5-derived value; the doc's
+    simhash packs the majority votes."""
+    words = docs.select(
+        "doc_id", F.explode(F.expr(TOKENS)).alias("word"))
+    v = F.conv(F.substring(F.md5("word"), 1, 2), 16, 10).cast("int")
+    votes = [F.sum(F.when(F.shiftright(v, b).bitwiseAND(F.lit(1)) == 1,
+                          1).otherwise(-1)).alias(f"v{b}")
+             for b in range(bits)]
+    agg = words.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard(docs: DataFrame, max_doc_id: int = 100,
+                  n: int = 3) -> DataFrame:
+    """Pairwise n-gram Jaccard similarity for a bounded doc subset.
+
+    Computed relationally: |intersection| via a shingle equi-join,
+    |union| = |A| + |B| - |intersection|.  Pairs without common shingles
+    are omitted (their Jaccard is 0)."""
+    subset = docs.filter(F.col("doc_id") < max_doc_id)
+    sh = _shingles(subset, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("d1"),
+                       F.col("b.doc_id").alias("d2"))
+              .agg(F.count("*").alias("common")))
+    return (common
+            .join(sizes.withColumnRenamed("doc_id", "d1")
+                  .withColumnRenamed("n_sh", "n1"), "d1")
+            .join(sizes.withColumnRenamed("doc_id", "d2")
+                  .withColumnRenamed("n_sh", "n2"), "d2")
+            .select("d1", "d2",
+                    F.round(F.col("common")
+                            / (F.col("n1") + F.col("n2") - F.col("common")),
+                            3).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+
+
+def _dot_expr(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) ->"
+            f" CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D,"
+            f" (acc, v) -> acc + v)")
+
+
+def _norm_expr(a: str) -> str:
+    return f"sqrt({_dot_expr(a, a)})"
+
+
+def _cosine_raw(emb: DataFrame, query_vec_id: int) -> DataFrame:
+    """vec_id + full-precision cosine vs one broadcast query row."""
+    q = (emb.filter(F.col("vec_id") == query_vec_id)
+         .select(F.col("embedding").alias("q")))
+    return (emb.crossJoin(F.broadcast(q))
+            .select("vec_id",
+                    (F.expr(_dot_expr("embedding", "q"))
+                     / (F.expr(_norm_expr("embedding"))
+                        * F.expr(_norm_expr("q")))).alias("c")))
+
+
+def cosine_to_query(emb: DataFrame, query_vec_id: int = 0) -> DataFrame:
+    """Brute-force cosine of every vector against one query vector.
+
+    The query row is broadcast (single row); the scan itself never
+    shuffles — this is the exact-search baseline that any ANN variant is
+    measured against."""
+    # + 0.0 canonicalizes IEEE -0.0 (engines disagree on its rendering)
+    return _cosine_raw(emb, query_vec_id).select(
+        "vec_id", (F.round("c", 3) + F.lit(0.0)).alias("cosine"))
+
+
+def ann_topk_brute(emb: DataFrame, query_vec_id: int = 0,
+                   k: int = 10) -> DataFrame:
+    # rank on the UNROUNDED cosine (ties at 3dp would be engine-dependent)
+    return (_cosine_raw(emb, query_vec_id)
+            .orderBy(F.desc("c"), F.asc("vec_id"))
+            .limit(k)
+            .select("vec_id", (F.round("c", 3) + F.lit(0.0)).alias("cosine")))
+
+
+def _lsh_planes(dim: int, n_planes: int) -> np.ndarray:
+    # deterministic hyperplanes; fixed seed -> identical across executors
+    return np.random.RandomState(42).randn(n_planes, dim)
+
+
+def ann_topk_lsh(emb: DataFrame, query_vec_id: int = 0, k: int = 10,
+                 n_planes: int = 6) -> DataFrame:
+    """Scale path: sign-random-projection LSH buckets + in-bucket exact
+    rerank.  One Arrow pass computes buckets; the query probes only its
+    own bucket and all Hamming-1 neighbors, so the rerank touches
+    ~(n_planes+1)/2^n_planes of the data instead of all of it."""
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"])
+    planes = _lsh_planes(dim, n_planes)
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket_of(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy())
+        bits = (mat @ planes.T) > 0
+        return pd.Series((bits * (1 << np.arange(n_planes))).sum(axis=1)
+                         .astype("int32"))
+
+    bucketed = emb.withColumn("bucket", bucket_of("embedding"))
+    qrow = bucketed.filter(F.col("vec_id") == query_vec_id).first()
+    qb = int(qrow["bucket"])
+    probe = [qb] + [qb ^ (1 << i) for i in range(n_planes)]
+    cand = bucketed.filter(F.col("bucket").isin(probe))
+    q = (emb.filter(F.col("vec_id") == query_vec_id)
+         .select(F.col("embedding").alias("q")))
+    return (cand.crossJoin(F.broadcast(q))
+            .select("vec_id", "bucket",
+                    F.round(
+                        F.expr(_dot_expr("embedding", "q"))
+                        / (F.expr(_norm_expr("embedding"))
+                           * F.expr(_norm_expr("q"))), 3)
+                    .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(k))
+
+
+def embedding_norms(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id", F.round(F.expr(_norm_expr("embedding")), 3).alias("l2"))
+
+
+def label_centroid_sim(emb: DataFrame) -> DataFrame:
+    """Per-label mean-vector cohesion: avg cosine of members to their
+    label centroid — a grouped array aggregation exercise."""
+    dim_row = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(dim_row["d"])
+    zeros = F.array(*[F.lit(0.0) for _ in range(dim)])
+    summed = (emb.groupBy("label")
+              .agg(F.aggregate(
+                  F.collect_list("embedding"), zeros,
+                  lambda acc, v: F.zip_with(acc, v, lambda x, y:
+                                            x + y.cast("double")))
+                  .alias("sumvec"),
+                  F.count("*").alias("n")))
+    cent = summed.select(
+        "label", "n",
+        F.expr("transform(sumvec, x -> x / n)").alias("centroid"))
+    joined = emb.join(F.broadcast(cent), "label")
+    return (joined
+            .select("label",
+                    (F.expr(_dot_expr("embedding", "centroid"))
+                     / (F.expr(_norm_expr("embedding"))
+                        * F.expr(_norm_expr("centroid")))).alias("cos"))
+            .groupBy("label")
+            .agg(F.round(F.avg("cos"), 3).alias("avg_cohesion"),
+                 F.count("*").alias("n_members")))
