@@ -52,7 +52,10 @@ def _proofread_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = _t(spark, sf_dir, "documents")
     docs = interleaved_from_flat(flat)
     lex = _corpus_lexicon(spark, flat)
-    return proofread(spark, docs, RunConfig(), broadcast_lexicon(spark, lex))
+    # derivation bounds span counts (~2 spans per 40 words), so the skew
+    # branch can be statically pruned: threshold above any possible doc
+    cfg = RunConfig(chunk_threshold_spans=1 << 30)
+    return proofread(spark, docs, cfg, broadcast_lexicon(spark, lex))
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,92 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.  Corpus synthesis (S18) is cached on disk and excluded from
+the timed value (SURVEY.md section 6 bench discipline)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH", "corpus_cache")
+
+# fixture-corpus size per driver scale factor (FIXTURES.md section 5)
+_SF_DOCS = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000}
+
+
+def main() -> None:
+    from ocr_proofreader_spark.jobs.proofread_job import build_session
+    from ocr_proofreader_spark.config import RunConfig
+    from ocr_proofreader_spark.lexicon import (broadcast_lexicon,
+                                               load_base_lexicon)
+    from ocr_proofreader_spark.operators import training_ops as ops
+    from ocr_proofreader_spark.operators.proofread import proofread
+    from ocr_proofreader_spark.operators.word_freq import word_freq
+    from ocr_proofreader_spark.sources.synthetic import ensure_corpus_parquet
+    import __spark_entry__ as entrymod
+
+    sf_name = os.path.basename(os.path.normpath(SF_DIR))
+    sf = float(sf_name[2:]) if sf_name.startswith("sf") else 0.1
+    n_docs = _SF_DOCS.get(sf_name, max(200, int(200_000 * sf)))
+
+    spark = build_session("bench", master=f"local[{CPUS}]",
+                          shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus_path = ensure_corpus_parquet(spark, CACHE, n_docs)
+    synth = spark.read.parquet(corpus_path)
+    flat = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+    cfg = RunConfig(rebalance_partitions=CPUS * 2)
+    lex_bc = broadcast_lexicon(spark, load_base_lexicon(cfg.lexicon_path))
+
+    # warm-up: JVM + Python worker spin-up excluded from timings
+    proofread(spark, synth.limit(64), cfg, lex_bc).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t0 = time.time()
+        out = thunk()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    n_out = timed("proofread_synth",
+                  lambda: proofread(spark, synth, cfg, lex_bc).count())
+    timed("word_freq_agg", lambda: word_freq(synth).count())
+    timed("proofread_flat",
+          lambda: entrymod.queries()["proofread_spans"](spark, SF_DIR)
+          .count())
+    timed("dedup_exact", lambda: ops.dedup_exact(flat).count())
+    timed("dedup_minhash", lambda: ops.minhash_candidates(flat).count())
+    timed("simhash", lambda: ops.simhash(flat).count())
+    timed("ann_topk", lambda: ops.ann_topk_brute(emb).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "synth_docs": n_docs,
+        "synth_docs_out": n_out,
+        "docs_per_sec": round(n_docs / timings["proofread_synth"], 1),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -24,7 +24,12 @@ class RunConfig:
     freq_k: int = 5                     # S11: book word freq >= K joins lexicon
     nsalt: int = 8                      # S4 salting fan-out
     rebalance_partitions: int | None = None  # None -> leave input partitioning
-    chunk_threshold_spans: int = 512    # docs above this take the skew path
+    # Docs above this take the skew path.  Measured on local[32]: a
+    # 2000-span book (~1 MB text) is cheaper inline in the shuffle-free
+    # fast path (~170 ms) than amortizing the skew path's two shuffles;
+    # the chunked path pays off for genuinely giant books (>~2 MB text),
+    # which is what it exists for at 10^12-doc scale.
+    chunk_threshold_spans: int = 4096
     chunk_spans: int = 64               # spans per chunk on the skew path
     num_buckets: int = 16               # resumability unit (S2/S16)
     arrow_batch_docs: int = 256         # spark.sql.execution.arrow.maxRecordsPerBatch

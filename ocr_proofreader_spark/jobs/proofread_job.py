@@ -36,6 +36,10 @@ def build_session(app: str, master: str | None = None,
     cores = shuffle_partitions or os.cpu_count() or 8
     return (b
             .config("spark.sql.shuffle.partitions", str(cores))
+            .config("spark.driver.memory", "24g")
+            # python-heavy scans want more, smaller input splits than the
+            # 128MB default so no core idles behind a straggler file
+            .config("spark.sql.files.maxPartitionBytes", "16m")
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
             .config("spark.sql.session.timeZone", "UTC")

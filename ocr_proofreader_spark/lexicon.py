@@ -14,8 +14,22 @@ _INDEX_CACHE: dict[int, LexIndex] = {}
 
 
 def load_base_lexicon(path: str) -> frozenset:
-    with open(path, encoding="utf-8") as fh:
-        return frozenset(w.strip().lower() for w in fh if w.strip())
+    """Read the base dictionary; transparently handles paths that point
+    inside a ``--py-files`` zip (spark-submit ships the engine as a zip,
+    so ``__file__``-derived paths land inside the archive)."""
+    import os
+    import re
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as fh:
+            return frozenset(w.strip().lower() for w in fh if w.strip())
+    m = re.match(r"(.*\.zip)[/\\](.*)", path)
+    if m:
+        import zipfile
+        with zipfile.ZipFile(m.group(1)) as zf:
+            text = zf.read(m.group(2).replace("\\", "/")).decode("utf-8")
+        return frozenset(w.strip().lower() for w in text.splitlines()
+                         if w.strip())
+    raise FileNotFoundError(path)
 
 
 def broadcast_lexicon(spark, base: frozenset):

@@ -39,10 +39,13 @@ def bucket_col(num_buckets: int):
 
 def resume_filter(docs: DataFrame, done: DataFrame,
                   num_buckets: int) -> DataFrame:
-    """S2: drop docs whose bucket already completed (broadcast anti-join)."""
+    """S2: drop docs whose bucket already completed (broadcast anti-join).
+
+    No distinct on the done side: anti-join semantics ignore duplicate
+    build rows, so deduping would only add a shuffle."""
     return (docs.withColumn("_bucket", bucket_col(num_buckets))
             .join(F.broadcast(done.select(F.col("partition_id")
-                                          .alias("_bucket")).distinct()),
+                                          .alias("_bucket"))),
                   "_bucket", "left_anti")
             .drop("_bucket"))
 

@@ -1,0 +1,61 @@
+"""Plan-shape regression tests (SURVEY.md section 4): the scale properties
+are pinned as plan assertions, not prose."""
+
+from pyspark.sql import functions as F
+
+from ocr_proofreader_spark.config import RunConfig
+from ocr_proofreader_spark.lexicon import broadcast_lexicon
+from ocr_proofreader_spark.operators.proofread import proofread_fast
+from ocr_proofreader_spark.operators.word_freq import word_freq
+from ocr_proofreader_spark.plans import physical as P
+
+
+def test_fast_path_is_shuffle_free(spark, corpus_small, base_lexicon):
+    docs = spark.read.parquet(f"{corpus_small}/documents.parquet")
+    lex_bc = broadcast_lexicon(spark, base_lexicon)
+    out = proofread_fast(docs, lex_bc, RunConfig())  # no rebalance
+    assert P.count_exchanges(out) == 0
+    assert "MapInPandas" in P.physical_plan(out)
+
+
+def test_rebalance_adds_exactly_one_range_exchange(spark, corpus_small,
+                                                   base_lexicon):
+    docs = spark.read.parquet(f"{corpus_small}/documents.parquet")
+    lex_bc = broadcast_lexicon(spark, base_lexicon)
+    out = proofread_fast(docs, lex_bc, RunConfig(rebalance_partitions=8))
+    plan = P.physical_plan(out)
+    assert P.count_exchanges(out) == 1
+    assert "rangepartitioning" in plan
+
+
+def test_word_freq_has_mapside_combine_single_shuffle(spark, corpus_small):
+    docs = spark.read.parquet(f"{corpus_small}/documents.parquet")
+    wf = word_freq(docs)
+    assert P.has_partial_aggregate(wf)
+    assert P.count_exchanges(wf) == 1
+
+
+def test_resume_anti_join_broadcasts(spark, corpus_small):
+    from ocr_proofreader_spark.operators.resume import resume_filter
+    docs = spark.read.parquet(f"{corpus_small}/documents.parquet")
+    done = spark.createDataFrame([(0,)], "partition_id int")
+    kept = resume_filter(docs, done, 8)
+    plan = P.physical_plan(kept)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert P.count_exchanges(kept) == 0
+
+
+def test_scan_prunes_columns(spark, corpus_small):
+    docs = spark.read.parquet(f"{corpus_small}/documents.parquet")
+    only_ids = docs.select("doc_id")
+    lines = [ln for ln in P.formatted_plan(only_ids).splitlines()
+             if "ReadSchema" in ln]
+    assert lines, "formatted plan should expose ReadSchema"
+    assert "spans" not in lines[0]  # column pruning reached the scan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .filter(F.col("doc_id") > 10).select("doc_id"))
+    pushed = P.pushed_filters(df)
+    assert "GreaterThan" in pushed or "doc_id" in pushed

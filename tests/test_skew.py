@@ -1,0 +1,52 @@
+"""Skew handling (SURVEY.md test 5.2-7): a giant book exceeds the chunk
+threshold, routes through the skew path, and still matches the oracle."""
+
+from pyspark.sql import functions as F
+
+from fixtures.gen import CorpusGenerator
+from ocr_proofreader_spark.config import RunConfig
+from ocr_proofreader_spark.lexicon import broadcast_lexicon
+from ocr_proofreader_spark.operators.proofread import proofread
+from ocr_proofreader_spark.schemas import DOCUMENTS_IN
+from oracle.refsem import proofread_document
+
+GEN = CorpusGenerator(seed=42)
+
+
+def _giant_doc(n_repeats: int = 120):
+    """One book far above chunk_threshold_spans, built from fixture spans."""
+    _, spans99, _ = GEN.gen_doc(99)  # the skewed fixture doc
+    spans = []
+    for r in range(n_repeats):
+        for sp in spans99:
+            spans.append({**sp, "offset": len(spans)})
+    return spans
+
+
+def test_giant_doc_routes_chunked_and_matches_oracle(spark, base_lexicon):
+    spans = _giant_doc()
+    cfg = RunConfig(chunk_threshold_spans=4096, chunk_spans=64)
+    assert len(spans) > cfg.chunk_threshold_spans
+
+    docs = spark.createDataFrame([("giant-1", spans)], DOCUMENTS_IN)
+    lex_bc = broadcast_lexicon(spark, base_lexicon)
+    out = proofread(spark, docs, cfg, lex_bc).collect()
+    assert len(out) == 1
+    got = [(s["kind"], s["text"], s["media_ref"], s["order"])
+           for s in out[0]["spans"]]
+
+    exp, _ = proofread_document(spans, base_lexicon, GEN.freq_k)
+    exp = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in exp]
+    assert got == exp
+
+
+def test_small_docs_avoid_skew_branch_rows(spark, corpus_small,
+                                           base_lexicon):
+    """With the default threshold, the corpus' docs all take the fast
+    path: the chunked branch contributes zero rows."""
+    from ocr_proofreader_spark.operators.proofread import proofread_chunked
+    docs = spark.read.parquet(f"{corpus_small}/documents.parquet")
+    cfg = RunConfig()
+    big = docs.filter(F.size("spans") > cfg.chunk_threshold_spans)
+    lex_bc = broadcast_lexicon(spark, base_lexicon)
+    assert proofread_chunked(spark, big, lex_bc, cfg).count() == 0
