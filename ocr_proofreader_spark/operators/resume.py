@@ -69,12 +69,13 @@ class ResumableRunner:
         return {int(f[:-5]) for f in os.listdir(self.marker_dir)
                 if f.endswith(".done")}
 
-    def _attempt(self, bucket: int) -> int:
+    def _prior_attempts(self) -> dict[int, int]:
+        """partition_id -> prior lineage rows, read once per run()."""
         if not os.path.isdir(self.lineage_dir):
-            return 1
-        prior = (self.spark.read.parquet(self.lineage_dir)
-                 .filter(F.col("partition_id") == bucket).count())
-        return prior + 1
+            return {}
+        rows = (self.spark.read.parquet(self.lineage_dir)
+                .groupBy("partition_id").count().collect())
+        return {r["partition_id"]: r["count"] for r in rows}
 
     def _append_lineage(self, row: dict) -> None:
         df = self.spark.createDataFrame([row], LINEAGE)
@@ -87,6 +88,7 @@ class ResumableRunner:
         N completed buckets (SURVEY.md test 5.2-6)."""
         cfg = self.cfg
         done = self.done_buckets()
+        prior = self._prior_attempts()
         bucketed = docs.withColumn("_bucket", bucket_col(cfg.num_buckets))
         completed_this_run = 0
         for b in range(cfg.num_buckets):
@@ -123,7 +125,7 @@ class ResumableRunner:
                 "flagged": int(metrics["flagged"]),
                 "status": "ok",
                 "wall_ms": int((time.time() - t0) * 1000),
-                "attempt": self._attempt(b),
+                "attempt": prior.get(b, 0) + 1,
                 "finished_at": datetime.now(timezone.utc),
             })
             with open(os.path.join(self.marker_dir, f"{b}.done"), "w") as fh:
