@@ -264,9 +264,15 @@ def oracle_sql() -> dict[str, str]:
             sig AS (
               SELECT doc_id, band, min(md5(shingle || '|' || band)) AS sig
               FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands
-              GROUP BY doc_id, band)
+              GROUP BY doc_id, band),
+            capped AS (
+              SELECT * FROM (
+                SELECT doc_id, band, sig,
+                       count(*) OVER (PARTITION BY band, sig) AS _n
+                FROM sig)
+              WHERE _n <= 64)
             SELECT a.doc_id AS d1, b.doc_id AS d2
-            FROM sig a JOIN sig b
+            FROM capped a JOIN capped b
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
             GROUP BY 1, 2""",
         "simhash": f"""

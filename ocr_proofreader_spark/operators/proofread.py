@@ -187,10 +187,13 @@ def proofread_chunked(spark: SparkSession, docs: DataFrame, lex_bc,
         F.col("span.text").alias("text"),
         F.col("span.media_ref").alias("media_ref"))
 
-    # distributed per-book word frequencies over RAW text (S10 semantics)
-    toks = tokens_udf()
+    # distributed per-book word frequencies over RAW text (S10 semantics),
+    # tokenized JVM-side (whole-stage codegen, zero Python)
+    from ocr_proofreader_spark.functions.sql_exprs import R1_TOKENS_LOWER
     freq = (spans.filter(F.col("kind") == "text")
-            .select("doc_id", F.explode(toks(F.col("text"))).alias("word"))
+            .select("doc_id",
+                    F.explode(F.expr(R1_TOKENS_LOWER.format(col="text")))
+                    .alias("word"))
             .groupBy("doc_id", "word").agg(F.count("*").alias("freq")))
     freq_maps = (freq.groupBy("doc_id")
                  .agg(F.collect_list("word").alias("freq_words"),

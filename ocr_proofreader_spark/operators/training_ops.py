@@ -104,15 +104,21 @@ def minhash_signatures(docs: DataFrame, bands: int = 4) -> DataFrame:
                  .alias("sig")))
 
 
-def minhash_candidates(docs: DataFrame, bands: int = 4) -> DataFrame:
+def minhash_candidates(docs: DataFrame, bands: int = 4,
+                       max_bucket: int = 64) -> DataFrame:
     """LSH candidate duplicate pairs: docs sharing any band signature.
 
-    The self-join keys on (band, sig) — at scale the bucket sizes are the
-    skew concern; genuinely hot buckets (boilerplate docs) should be capped
-    or salted upstream, here volumes are tiny."""
+    Degenerate hot buckets (boilerplate-heavy corpora put thousands of
+    docs behind one signature) are DROPPED before the self-join —
+    standard LSH practice, and the thing that keeps the join O(sum of
+    bucket^2) bounded at 10^12 docs.  The DuckDB oracle applies the same
+    cap, so results stay bit-identical."""
     sig = minhash_signatures(docs, bands)
-    a = sig.alias("a")
-    b = sig.alias("b")
+    w = Window.partitionBy("band", "sig")
+    capped = (sig.withColumn("_n", F.count("*").over(w))
+              .filter(F.col("_n") <= max_bucket).drop("_n"))
+    a = capped.alias("a")
+    b = capped.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.sig") == F.col("b.sig"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -2,15 +2,17 @@
 first-class derived datasets (BASELINE.json:6).
 
 Pure DataFrame aggregations: Catalyst plans a partial+final hash aggregate
-for the groupBy, so map-side combine keeps the shuffle small; the only
-Python is the Arrow-vectorized R1 tokenizer."""
+for the groupBy, so map-side combine keeps the shuffle small.  The R1
+tokenizer is expressed with BUILT-IN split/lower/filter (its character
+class translates 1:1 to a Java regex), so the whole stage stays inside
+whole-stage codegen — zero Python."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocr_proofreader_spark.operators.proofread import tokens_udf
+from ocr_proofreader_spark.functions.sql_exprs import R1_TOKENS_LOWER
 
 
 def word_freq(docs: DataFrame) -> DataFrame:
@@ -19,12 +21,13 @@ def word_freq(docs: DataFrame) -> DataFrame:
     Frequencies are counted over RAW (pre-correction) text span tokens,
     lowercased — the same signal the in-UDF scorer uses, so this table IS
     the engine's scoring input, materialized."""
-    toks = tokens_udf()
     spans = docs.select(
         "doc_id", F.explode("spans").alias("span"))
     return (spans
             .filter(F.col("span.kind") == "text")
-            .select("doc_id", F.explode(toks(F.col("span.text")))
+            .select("doc_id",
+                    F.explode(F.expr(
+                        R1_TOKENS_LOWER.format(col="span.text")))
                     .alias("word"))
             .groupBy("doc_id", "word")
             .agg(F.count("*").alias("freq")))
