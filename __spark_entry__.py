@@ -123,7 +123,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("doc_id").cast("string").alias("doc_id"))
                 .withColumn("bucket", bucket_col(16)))
 
+    from ocr_proofreader_spark.operators import relational as rel
+
     return {
+        # generic relational coverage (SURVEY.md section 2.4)
+        "pricing_summary": lambda s, d: rel.pricing_summary(
+            _t(s, d, "lineitem")),
+        "region_revenue": lambda s, d: rel.region_revenue(
+            _t(s, d, "region"), _t(s, d, "nation"),
+            _t(s, d, "customer"), _t(s, d, "orders")),
+        "top_words_per_lang": lambda s, d: rel.top_words_per_lang(
+            _t(s, d, "documents")),
+        "sessionize": lambda s, d: rel.sessionize(_t(s, d, "events")),
         # engine-shaped relational ops (SURVEY.md section 2.5)
         "doc_word_freq": doc_word_freq,
         "lexicon_frequent": lexicon_frequent,
@@ -199,6 +210,60 @@ def oracle_sql() -> dict[str, str]:
     simhash_pack = " + ".join(
         f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(8))
     return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "region_revenue": """
+            SELECT r_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
+        "top_words_per_lang": f"""
+            WITH counts AS (
+              SELECT lang, word, count(*) AS cnt
+              FROM (SELECT lang, unnest({_TOKS}) AS word FROM documents)
+              GROUP BY lang, word)
+            SELECT lang, word, cnt, rk FROM (
+              SELECT lang, word, cnt,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY cnt DESC, word) AS rk
+              FROM counts)
+            WHERE rk <= 5""",
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events),
+            m AS (
+              -- floor() matches Spark's unix_timestamp() truncation
+              SELECT *, CASE WHEN prev_ts IS NULL THEN 1
+                             WHEN floor(epoch(ts)) - floor(epoch(prev_ts))
+                                  > 1800 THEN 1
+                             ELSE 0 END AS new_sess
+              FROM g),
+            s AS (
+              SELECT *, CAST(sum(new_sess) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_no
+              FROM m)
+            SELECT user_id, session_no, count(*) AS n_events,
+                   CAST(min(floor(epoch(ts))) AS BIGINT) AS start_epoch,
+                   CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch,
+                   round(sum(value), 3) AS total_value
+            FROM s GROUP BY user_id, session_no""",
         "doc_word_freq": f"""
             SELECT doc_id, word, count(*) AS freq
             FROM (SELECT doc_id, unnest({_TOKS}) AS word FROM documents)

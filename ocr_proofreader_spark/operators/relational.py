@@ -1,0 +1,84 @@
+"""Generic relational operators over the driver's TPC-H-ish tables —
+the task-template categories (SURVEY.md section 2.4) exercised beyond the
+text pipeline: multi-way broadcast joins, filtered aggregations, window
+functions (rank, lag + cumulative sum sessionization).
+
+Every op here has a bit-exact DuckDB twin in ``__spark_entry__``; floats
+are rounded in-query, timestamps never leave the query (epoch seconds
+instead) to dodge engine-specific rendering."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_proofreader_spark.functions.sql_exprs import R1_TOKENS_LOWER
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped rollup: filtered scan -> partial+final hash agg."""
+    return (lineitem
+            .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").alias("n_rows")))
+
+
+def region_revenue(region: DataFrame, nation: DataFrame,
+                   customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Multi-way join chain with broadcast dims: region -> nation ->
+    customer -> orders revenue rollup."""
+    return (orders
+            .join(F.broadcast(customer),
+                  orders.o_custkey == customer.c_custkey)
+            .join(F.broadcast(nation),
+                  customer.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region),
+                  nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+def top_words_per_lang(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Window rank over an aggregation: top-k words by count per lang
+    (ties broken lexicographically for determinism)."""
+    counts = (docs
+              .select("lang", F.explode(F.expr(
+                  R1_TOKENS_LOWER.format(col="text"))).alias("word"))
+              .groupBy("lang", "word").agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("word"))
+    return (counts
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session assignment: lag + cumulative sum over an event-time window
+    (the classic gap-based sessionization), then per-session rollup.
+    Timestamps are reduced to epoch seconds so outputs are
+    engine-portable."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = gap_minutes * 60
+    with_gap = (events
+                .withColumn("prev_ts", F.lag("ts").over(w))
+                .withColumn(
+                    "new_sess",
+                    F.when(F.col("prev_ts").isNull(), 1)
+                    .when(F.unix_timestamp("ts")
+                          - F.unix_timestamp("prev_ts") > gap, 1)
+                    .otherwise(0)))
+    sess = with_gap.withColumn(
+        "session_no", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    return (sess
+            .groupBy("user_id", "session_no")
+            .agg(F.count("*").alias("n_events"),
+                 F.min(F.unix_timestamp("ts")).alias("start_epoch"),
+                 F.max(F.unix_timestamp("ts")).alias("end_epoch"),
+                 F.round(F.sum("value"), 3).alias("total_value")))
