@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_all": lambda s, d: ops.cosine_to_query(
             _t(s, d, "embeddings")),
         "ann_topk": lambda s, d: ops.ann_topk_brute(_t(s, d, "embeddings")),
+        "embedding_near_dup": lambda s, d: ops.embedding_near_dup(
+            _t(s, d, "embeddings")),
         # rows-only (non-SQL-expressible): flagship pipeline + ANN scale
         # path + multimodal plumbing
         "proofread_spans": lambda s, d: (
@@ -178,6 +180,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _proofread_docs(s, d)
             .select("doc_id", "span_count", "corrections", "flagged")),
         "ann_topk_lsh": lambda s, d: ops.ann_topk_lsh(
+            _t(s, d, "embeddings")),
+        "ann_topk_ivf": lambda s, d: ops.ann_topk_ivf(
+            _t(s, d, "embeddings")),
+        "embedding_near_dup_lsh": lambda s, d: ops.embedding_near_dup_lsh(
             _t(s, d, "embeddings")),
         "label_centroid_sim": lambda s, d: ops.label_centroid_sim(
             _t(s, d, "embeddings")),
@@ -390,6 +396,21 @@ def oracle_sql() -> dict[str, str]:
                                              for x in qe]))), 3) + 0.0
                        AS cosine
             FROM embeddings CROSS JOIN q""",
+        "embedding_near_dup": """
+            WITH n AS (
+              SELECT vec_id, embedding,
+                     sqrt(list_sum([CAST(x AS DOUBLE) * x
+                                    for x in embedding])) AS nrm
+              FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS v1, b.vec_id AS v2,
+                     list_sum([CAST(a.embedding[i] AS DOUBLE)
+                               * b.embedding[i]
+                               for i in range(1, len(a.embedding)+1)])
+                     / (a.nrm * b.nrm) AS c
+              FROM n a JOIN n b ON a.vec_id < b.vec_id)
+            SELECT v1, v2, round(c, 3) + 0.0 AS cosine
+            FROM pairs WHERE c >= 0.40""",
         "ann_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings
                        WHERE vec_id = 0),

@@ -258,6 +258,137 @@ def ann_topk_lsh(emb: DataFrame, query_vec_id: int = 0, k: int = 10,
             .limit(k))
 
 
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.40) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (v1 < v2) with
+    cosine >= threshold.
+
+    This is the exact O(n^2) baseline (norms computed once per row, the
+    smaller side broadcast); at corpus scale the blocked
+    ``embedding_near_dup_lsh`` variant is the one to run — this version
+    is its correctness oracle.  The threshold is applied to the
+    UNROUNDED cosine (rounding first would make the boundary
+    engine-dependent); display value rounds after."""
+    n = emb.select("vec_id", "embedding",
+                   F.expr(_norm_expr("embedding")).alias("nrm"))
+    a = n.select(F.col("vec_id").alias("v1"),
+                 F.col("embedding").alias("e1"), F.col("nrm").alias("n1"))
+    b = n.select(F.col("vec_id").alias("v2"),
+                 F.col("embedding").alias("e2"), F.col("nrm").alias("n2"))
+    return (a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
+            .withColumn("c", F.expr(_dot_expr("e1", "e2"))
+                        / (F.col("n1") * F.col("n2")))
+            .filter(F.col("c") >= threshold)
+            .select("v1", "v2",
+                    (F.round("c", 3) + F.lit(0.0)).alias("cosine")))
+
+
+def embedding_near_dup_lsh(emb: DataFrame, threshold: float = 0.40,
+                           bands: int = 8, r: int = 3) -> DataFrame:
+    """Scale path for embedding near-dup: banded sign-random-projection
+    blocking (bands x r deterministic hyperplanes; a pair is a candidate
+    iff all r bits of some band agree), then exact cosine on candidates
+    only.
+
+    The equi-join on band codes replaces the all-pairs cross join —
+    O(sum of bucket^2) instead of O(n^2), the same blocking structure as
+    ``minhash_candidates``.  Output is a subset of
+    ``embedding_near_dup`` (the exact filter never admits a false
+    positive); recall is governed by (bands, r) and pinned by
+    tests/test_embedding_ops.py."""
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"])
+    planes = _lsh_planes(dim, bands * r)
+    weights = 1 << np.arange(r)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def band_codes(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy())
+        bits = (mat @ planes.T) > 0                      # (n, bands*r)
+        out = np.zeros((len(mat), bands), dtype="int32")
+        for bi in range(bands):
+            seg = bits[:, bi * r:(bi + 1) * r]
+            out[:, bi] = (seg * weights).sum(axis=1) | (bi << r)
+        return pd.Series(list(out))
+
+    coded = emb.select("vec_id",
+                       F.explode(band_codes("embedding")).alias("code"))
+    a = coded.select(F.col("vec_id").alias("v1"), "code")
+    b = coded.select(F.col("vec_id").alias("v2"), "code")
+    cand = (a.join(b, "code")
+            .filter(F.col("v1") < F.col("v2"))
+            .select("v1", "v2")
+            .distinct())
+    n = emb.select("vec_id", "embedding",
+                   F.expr(_norm_expr("embedding")).alias("nrm"))
+    e1 = n.select(F.col("vec_id").alias("v1"),
+                  F.col("embedding").alias("e1"), F.col("nrm").alias("n1"))
+    e2 = n.select(F.col("vec_id").alias("v2"),
+                  F.col("embedding").alias("e2"), F.col("nrm").alias("n2"))
+    return (cand.join(e1, "v1").join(e2, "v2")
+            .withColumn("c", F.expr(_dot_expr("e1", "e2"))
+                        / (F.col("n1") * F.col("n2")))
+            .filter(F.col("c") >= threshold)
+            .select("v1", "v2",
+                    (F.round("c", 3) + F.lit(0.0)).alias("cosine")))
+
+
+def _ivf_centroids(emb: DataFrame, n_cells: int) -> np.ndarray:
+    """Deterministic coarse-quantizer centroids: the embeddings of the
+    n_cells smallest vec_ids, L2-normalized (FAISS-style sample init; a
+    production build would refine with k-means sweeps, withheld here so
+    every run is bit-identical, which the resume protocol relies on)."""
+    cents = (emb.orderBy("vec_id").limit(n_cells)
+             .select("embedding").collect())
+    C = np.stack([np.asarray(row["embedding"], dtype=np.float64)
+                  for row in cents])
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def ivf_assign(emb: DataFrame, n_cells: int = 16) -> DataFrame:
+    """emb + ``cell`` = argmax-cosine centroid id: one Arrow-vectorized
+    matmul pass.  At cluster scale ``cell`` doubles as the table's
+    physical partition key so a probe prunes files."""
+    Cn = _ivf_centroids(emb, n_cells)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(np.argmax(mat @ Cn.T, axis=1).astype("int32"))
+
+    return emb.withColumn("cell", cell_of("embedding"))
+
+
+def ivf_probe_cells(emb: DataFrame, query_vec_id: int, n_cells: int,
+                    n_probe: int) -> list[int]:
+    """The n_probe cell ids nearest (by cosine) to the query vector."""
+    Cn = _ivf_centroids(emb, n_cells)
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).first()
+    qv = np.asarray(qrow["embedding"], dtype=np.float64)
+    qv /= np.linalg.norm(qv)
+    return [int(c) for c in np.argsort(-(Cn @ qv))[:n_probe]]
+
+
+def ann_topk_ivf(emb: DataFrame, query_vec_id: int = 0, k: int = 10,
+                 n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF-Flat ANN: a coarse quantizer partitions vectors into cells;
+    the query reranks exactly inside its n_probe nearest cells only —
+    the candidate scan touches ~n_probe/n_cells of the table instead of
+    all of it."""
+    probe = ivf_probe_cells(emb, query_vec_id, n_cells, n_probe)
+    cand = ivf_assign(emb, n_cells).filter(F.col("cell").isin(probe))
+    q = (emb.filter(F.col("vec_id") == query_vec_id)
+         .select(F.col("embedding").alias("q")))
+    return (cand.crossJoin(F.broadcast(q))
+            .withColumn("c", F.expr(_dot_expr("embedding", "q"))
+                        / (F.expr(_norm_expr("embedding"))
+                           * F.expr(_norm_expr("q"))))
+            .orderBy(F.desc("c"), F.asc("vec_id"))
+            .limit(k)
+            .select("vec_id", "cell",
+                    (F.round("c", 3) + F.lit(0.0)).alias("cosine")))
+
+
 def embedding_norms(emb: DataFrame) -> DataFrame:
     return emb.select(
         "vec_id", F.round(F.expr(_norm_expr("embedding")), 3).alias("l2"))
