@@ -51,15 +51,23 @@ def main() -> None:
     cfg = RunConfig(rebalance_partitions=CPUS * 2)
     lex_bc = broadcast_lexicon(spark, load_base_lexicon(cfg.lexicon_path))
 
-    # warm-up: JVM + Python worker spin-up excluded from timings
+    # warm-up: JVM + Python worker spin-up and codegen compilation for
+    # both the Arrow pipeline and the JVM tokenizer, excluded from timings
     proofread(spark, synth.limit(64), cfg, lex_bc).count()
+    word_freq(synth.limit(64)).count()
 
     timings: dict[str, float] = {}
 
-    def timed(name, thunk):
-        t0 = time.time()
-        out = thunk()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name, thunk, repeats=2):
+        # best-of-N: this host's wall clock swings ~2x under external
+        # noise (BENCH/BASELINE.md); the min is the reproducible number
+        best, out = None, None
+        for _ in range(repeats):
+            t0 = time.time()
+            out = thunk()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         return out
 
     n_out = timed("proofread_synth",
