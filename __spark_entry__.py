@@ -58,6 +58,16 @@ def _proofread_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proofread(spark, docs, cfg, broadcast_lexicon(spark, lex))
 
 
+def _sessionize_stream_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionizer (applyInPandasWithState) over the
+    events table via Trigger.AvailableNow; emits CLOSED sessions, which
+    over a finite input equals 'all sessions but each user's last' — the
+    SQL-expressible twin below."""
+    from ocr_proofreader_spark.streaming.stateful import sessionize_stream
+    return sessionize_stream(
+        spark, os.path.join(sf_dir, "events.parquet"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _proofread_docs(spark, "/root/testdata/sf0.001")
@@ -135,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_words_per_lang": lambda s, d: rel.top_words_per_lang(
             _t(s, d, "documents")),
         "sessionize": lambda s, d: rel.sessionize(_t(s, d, "events")),
+        "sessionize_stream_closed": _sessionize_stream_closed,
         # engine-shaped relational ops (SURVEY.md section 2.5)
         "doc_word_freq": doc_word_freq,
         "lexicon_frequent": lexicon_frequent,
@@ -270,6 +281,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch,
                    round(sum(value), 3) AS total_value
             FROM s GROUP BY user_id, session_no""",
+        "sessionize_stream_closed": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events),
+            m AS (
+              SELECT *, CASE WHEN prev_ts IS NULL THEN 1
+                             WHEN floor(epoch(ts)) - floor(epoch(prev_ts))
+                                  > 1800 THEN 1
+                             ELSE 0 END AS new_sess
+              FROM g),
+            s AS (
+              SELECT *, CAST(sum(new_sess) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_no
+              FROM m),
+            roll AS (
+              SELECT user_id, session_no, count(*) AS n_events,
+                     CAST(min(floor(epoch(ts))) AS BIGINT) AS start_epoch,
+                     CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch,
+                     round(sum(value), 3) AS total_value
+              FROM s GROUP BY user_id, session_no)
+            SELECT * FROM roll
+            WHERE session_no < (SELECT max(session_no) FROM roll r2
+                                WHERE r2.user_id = roll.user_id)""",
         "doc_word_freq": f"""
             SELECT doc_id, word, count(*) AS freq
             FROM (SELECT doc_id, unnest({_TOKS}) AS word FROM documents)

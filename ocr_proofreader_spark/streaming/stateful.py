@@ -1,0 +1,137 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState``.
+
+The batch engine sessionizes with lag + cumulative sum
+(operators/relational.py::sessionize); the streaming twin keeps one open
+session per user in Spark state and EMITS a session the moment a later
+event closes it (gap > 30 min).  Open sessions stay in state, so the
+operator's output is exactly the *closed* sessions — a semantics that is
+SQL-expressible over a finite input (all sessions but each user's last),
+which gives this streaming operator a bit-exact DuckDB oracle.
+
+State is keyed by user_id (the shuffle key), one row of
+(session_no counter, open-session aggregates) per user — O(users), not
+O(events), so a year of events over 10^9 users holds state the size of
+the user table.  Within a micro-batch the fold is vectorized
+(numpy boundary flags + segment reduction), not per-row Python.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+SESSION_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_no", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("start_epoch", T.LongType()),
+    T.StructField("end_epoch", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+])
+
+# (closed-session counter, open session: start/last epoch, n, sum)
+SESSION_STATE = T.StructType([
+    T.StructField("sessions_closed", T.LongType()),
+    T.StructField("start_epoch", T.LongType()),
+    T.StructField("last_epoch", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+
+
+def _session_fold(gap_sec: int):
+    def fold(key: Tuple, pdfs: Iterator[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # event-time order with the same tie-break as the batch engine
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        epochs = (batch["ts"].astype("int64") // 10**9).to_numpy()
+        values = batch["value"].to_numpy()
+
+        if state.exists:
+            closed_no, s_start, s_last, s_n, s_tot = state.get
+            segments = [[s_start, s_last, s_n, s_tot]]  # carried open sess
+        else:
+            closed_no, segments = 0, []
+
+        # within-batch segments: boundary where the gap to the previous
+        # batch event exceeds the session gap (vectorized)
+        prev = np.concatenate(([-(1 << 62)], epochs[:-1]))
+        seg_ids = np.cumsum((epochs - prev) > gap_sec)   # 1, 2, ...
+        for sid in range(1, int(seg_ids[-1]) + 1):
+            m = seg_ids == sid
+            start, end = int(epochs[m][0]), int(epochs[m][-1])
+            n, tot = int(m.sum()), float(values[m].sum())
+            if segments and start - segments[-1][1] <= gap_sec:
+                segments[-1][1] = end        # continues the previous one
+                segments[-1][2] += n
+                segments[-1][3] += tot
+            else:
+                segments.append([start, end, n, tot])
+
+        out = []
+        for start, end, n, tot in segments[:-1]:   # all but last = closed
+            closed_no += 1
+            out.append((user_id, closed_no, n, start, end, round(tot, 3)))
+        s_start, s_last, s_n, s_tot = segments[-1]  # last stays open
+        state.update((closed_no, s_start, s_last, s_n, s_tot))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in SESSION_OUT])
+
+    return fold
+
+
+def sessionize_stream(spark: SparkSession, input_path: str,
+                      gap_minutes: int = 30,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """Run the stateful sessionizer over ``input_path`` (parquet file or
+    directory) with Trigger.AvailableNow and return the closed sessions.
+
+    One stateful shuffle on user_id; the memory sink is test/driver
+    plumbing — production would writeStream to the lineage-tracked
+    table with a real checkpoint dir."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    if os.path.isfile(input_path):
+        # the file stream source only takes directories: expose a single
+        # file through a scratch dir with one symlink
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(os.path.abspath(input_path),
+                   os.path.join(d, os.path.basename(input_path)))
+        input_path = d
+    stream = reader.parquet(input_path)
+    closed = (stream
+              .groupBy("user_id")
+              .applyInPandasWithState(
+                  _session_fold(gap_minutes * 60), SESSION_OUT,
+                  SESSION_STATE, "append", GroupStateTimeout.NoTimeout))
+    name = "closed_sessions_" + uuid.uuid4().hex[:12]
+    q = (closed.writeStream
+         .format("memory")
+         .queryName(name)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
