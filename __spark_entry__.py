@@ -80,7 +80,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_proofreader_spark.operators import training_ops as ops
     from ocr_proofreader_spark.operators.multimodal import (decode_media,
-                                                            media_inventory)
+                                                            media_inventory,
+                                                            resize_media,
+                                                            sample_frames)
     from ocr_proofreader_spark.operators.resume import bucket_col
     from ocr_proofreader_spark.sources.interleaved import interleaved_from_flat
 
@@ -202,6 +204,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             interleaved_from_flat(_t(s, d, "documents"))),
         "media_decode": lambda s, d: decode_media(media_inventory(
             interleaved_from_flat(_t(s, d, "documents")))),
+        "media_resize": lambda s, d: resize_media(decode_media(
+            media_inventory(interleaved_from_flat(
+                _t(s, d, "documents"))))),
+        "media_frames": lambda s, d: sample_frames(media_inventory(
+            interleaved_from_flat(_t(s, d, "documents")))),
     }
 
 
@@ -218,6 +225,43 @@ sh AS (
                                for i in range(1, len(t)-1)])) AS shingle
   FROM toks WHERE len(t) >= 3
 )"""
+
+
+# Twin of sources/interleaved.py::_doc_to_spans media placement + the
+# md5-derived fake decode (operators/multimodal.py): pages of 40 words,
+# a media span before every 4th page, all fields pure functions of the
+# ref string — so every multimodal stage is SQL-expressible.
+_MEDIA_CTE = """
+nwords AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n
+  FROM documents),
+media AS (
+  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+         'scan/doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+           || '/p' || lpad(CAST(page AS VARCHAR), 4, '0') || '.png'
+             AS media_ref,
+         CAST(page AS INT) AS page
+  FROM (SELECT doc_id,
+               unnest(range(0, CAST(ceil(greatest(n, 1) / 40.0)
+                                    AS BIGINT))) AS page
+        FROM nwords)
+  WHERE (doc_id + page) % 4 = 0)"""
+
+
+def _md5_byte(expr: str, j: int) -> str:
+    return (f"CAST('0x' || substr(md5({expr}), {2 * j + 1}, 2) "
+            f"AS INTEGER)")
+
+
+_DECODE_CTE = f"""
+dec AS (
+  SELECT doc_id, media_ref, page,
+         600 + {_md5_byte('media_ref', 0)} % 200 AS width,
+         800 + {_md5_byte('media_ref', 1)} % 200 AS height,
+         [CAST(CAST('0x' || substr(md5(media_ref), 2*i+1, 2) AS INTEGER)
+               / 255.0 AS FLOAT) for i in range(0, 8)] AS features
+  FROM media)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -434,6 +478,32 @@ def oracle_sql() -> dict[str, str]:
                                              for x in qe]))), 3) + 0.0
                        AS cosine
             FROM embeddings CROSS JOIN q""",
+        "media_inventory": f"""
+            WITH {_MEDIA_CTE}
+            SELECT doc_id, media_ref, page FROM media""",
+        "media_decode": f"""
+            WITH {_MEDIA_CTE},
+            {_DECODE_CTE}
+            SELECT * FROM dec""",
+        "media_resize": f"""
+            WITH {_MEDIA_CTE},
+            {_DECODE_CTE}
+            SELECT doc_id, media_ref, page, width, height, features,
+                   CAST(ceil(width * sc) AS INT) AS out_width,
+                   CAST(ceil(height * sc) AS INT) AS out_height,
+                   CAST(sc AS FLOAT) AS scale
+            FROM (SELECT *, 512.0 / greatest(width, height) AS sc
+                  FROM dec)""",
+        "media_frames": f"""
+            WITH {_MEDIA_CTE}
+            SELECT doc_id, media_ref, CAST(i AS INT) AS frame_idx,
+                   CAST((1.0 + {_md5_byte('media_ref', 2)}) * i / 4.0
+                        AS FLOAT) AS t_offset_sec,
+                   [CAST(CAST('0x' || substr(
+                          md5(media_ref || '#' || CAST(i AS VARCHAR)),
+                          2*j+1, 2) AS INTEGER) / 255.0 AS FLOAT)
+                    for j in range(0, 8)] AS frame_features
+            FROM media CROSS JOIN (SELECT unnest(range(0, 4)) AS i)""",
         "embedding_near_dup": """
             WITH n AS (
               SELECT vec_id, embedding,

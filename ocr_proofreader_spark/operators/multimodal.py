@@ -60,11 +60,82 @@ def decode_media(media: DataFrame, feature_dim: int = 8,
                 h = hashlib.md5(ref.encode()).digest()
                 width = 600 + h[0] % 200
                 height = 800 + h[1] % 200
+                # divide in float64, then narrow — the same double-round
+                # the SQL oracle's CAST(x/255.0 AS FLOAT) performs
                 feats = (np.frombuffer(h[:feature_dim], dtype=np.uint8)
-                         .astype(np.float32) / 255.0)
+                         .astype(np.float64) / 255.0).astype(np.float32)
                 rows.append((doc_id, ref, page, width, height,
                              feats.tolist()))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "media_ref", "page", "width", "height",
                 "features"])
     return media.mapInPandas(fn, MEDIA_META)
+
+
+RESIZED_META = T.StructType(MEDIA_META.fields + [
+    T.StructField("out_width", T.IntegerType(), False),
+    T.StructField("out_height", T.IntegerType(), False),
+    T.StructField("scale", T.FloatType(), False),
+])
+
+
+def resize_media(decoded: DataFrame, max_side: int = 512) -> DataFrame:
+    """Resize stage over decoded media: scale every image so its longer
+    side is ``max_side``, preserving aspect ratio.
+
+    The geometry (scale factor, output dims) is computed JVM-side with
+    built-in expressions — only a real pixel resample would need the
+    binary payload, and that part belongs to the same stubbed decoder.
+    Row count and partitioning are unchanged, so this composes with
+    ``decode_media`` without a shuffle."""
+    scale = F.lit(float(max_side)) / F.greatest("width", "height")
+    return decoded.select(
+        "*",
+        F.ceil(F.col("width") * scale).cast("int").alias("out_width"),
+        F.ceil(F.col("height") * scale).cast("int").alias("out_height"),
+        scale.cast("float").alias("scale"))
+
+
+FRAME_META = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("t_offset_sec", T.FloatType(), False),
+    T.StructField("frame_features", T.ArrayType(T.FloatType()), True),
+])
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4,
+                  fake_decode: bool = True) -> DataFrame:
+    """Frame-sampling stage for video-like media: emit ``n_frames``
+    evenly spaced frame rows per media ref (a 1->N mapInPandas
+    expansion with bounded output batches).
+
+    Without codecs the clip duration and per-frame features are derived
+    deterministically from the ref's md5; the real decoder slots into
+    the same iterator (read binary -> seek -> decode frame) with
+    identical schema and batch shape."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "no video codec in this environment; supply a real "
+                    "frame decoder via mapInPandas on the binary column")
+            rows = []
+            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                h = hashlib.md5(ref.encode()).digest()
+                duration = 1.0 + h[2]                 # 1..256 "seconds"
+                for i in range(n_frames):
+                    t = duration * i / n_frames
+                    fh = hashlib.md5(f"{ref}#{i}".encode()).digest()
+                    feats = (np.frombuffer(fh[:8], dtype=np.uint8)
+                             .astype(np.float64) / 255.0).astype(np.float32)
+                    rows.append((doc_id, ref, i, float(t), feats.tolist()))
+                if len(rows) >= 4096:                 # bound output batch
+                    yield pd.DataFrame(rows, columns=[
+                        f.name for f in FRAME_META])
+                    rows = []
+            if rows:
+                yield pd.DataFrame(rows,
+                                   columns=[f.name for f in FRAME_META])
+    return media.mapInPandas(fn, FRAME_META)
