@@ -68,6 +68,16 @@ def _sessionize_stream_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def _windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregation; over a finite
+    AvailableNow input the append-mode output is exactly the windows the
+    final watermark (max ts - 30 min) closed — the SQL twin below."""
+    from ocr_proofreader_spark.streaming.windowed import \
+        windowed_counts_stream
+    return windowed_counts_stream(
+        spark, os.path.join(sf_dir, "events.parquet"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _proofread_docs(spark, "/root/testdata/sf0.001")
@@ -148,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")),
         "sessionize": lambda s, d: rel.sessionize(_t(s, d, "events")),
         "sessionize_stream_closed": _sessionize_stream_closed,
+        "windowed_counts_stream": _windowed_counts_stream,
         # engine-shaped relational ops (SURVEY.md section 2.5)
         "doc_word_freq": doc_word_freq,
         "lexicon_frequent": lexicon_frequent,
@@ -478,6 +489,16 @@ def oracle_sql() -> dict[str, str]:
                                              for x in qe]))), 3) + 0.0
                        AS cosine
             FROM embeddings CROSS JOIN q""",
+        "windowed_counts_stream": """
+            WITH w AS (
+              SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+                         AS window_start,
+                     event_type, count(*) AS n_events,
+                     round(sum(value), 3) AS total_value
+              FROM events GROUP BY 1, 2),
+            mx AS (SELECT max(floor(epoch(ts))) AS m FROM events)
+            SELECT window_start, event_type, n_events, total_value
+            FROM w, mx WHERE window_start + 3600 <= m - 1800""",
         "media_inventory": f"""
             WITH {_MEDIA_CTE}
             SELECT doc_id, media_ref, page FROM media""",

@@ -57,6 +57,17 @@ SESSION_STATE = T.StructType([
 ])
 
 
+def as_stream_dir(input_path: str) -> str:
+    """The file stream source only takes directories: expose a single
+    file through a scratch dir with one symlink."""
+    if not os.path.isfile(input_path):
+        return input_path
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(os.path.abspath(input_path),
+               os.path.join(d, os.path.basename(input_path)))
+    return d
+
+
 def _session_fold(gap_sec: int):
     def fold(key: Tuple, pdfs: Iterator[pd.DataFrame],
              state: GroupState) -> Iterator[pd.DataFrame]:
@@ -113,14 +124,7 @@ def sessionize_stream(spark: SparkSession, input_path: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger",
                                str(max_files_per_trigger))
-    if os.path.isfile(input_path):
-        # the file stream source only takes directories: expose a single
-        # file through a scratch dir with one symlink
-        d = tempfile.mkdtemp(prefix="stream_src_")
-        os.symlink(os.path.abspath(input_path),
-                   os.path.join(d, os.path.basename(input_path)))
-        input_path = d
-    stream = reader.parquet(input_path)
+    stream = reader.parquet(as_stream_dir(input_path))
     closed = (stream
               .groupBy("user_id")
               .applyInPandasWithState(

@@ -1,0 +1,74 @@
+"""Watermarked windowed aggregation over the event stream.
+
+Tumbling event-time windows with a watermark: in append mode a window
+row is emitted only once the watermark (max event time seen minus the
+allowed lateness) passes the window end, and events arriving later than
+the watermark are dropped — the standard late-data contract.  State is
+O(open windows x event types), bounded by the watermark horizon, so the
+operator holds constant state on an unbounded stream.
+
+Over a finite input processed with Trigger.AvailableNow the emitted set
+is exactly 'windows whose end <= max(ts) - delay' with no late drops
+(single batch sees everything in order), which is SQL-expressible — the
+DuckDB twin lives in ``__spark_entry__``.  The late-drop behavior needs
+multiple micro-batches and is pinned by tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_proofreader_spark.streaming.stateful import (EVENTS_SCHEMA,
+                                                      as_stream_dir)
+
+
+def windowed_counts_stream(spark: SparkSession, input_path: str,
+                           window_minutes: int = 60,
+                           watermark_minutes: int = 30,
+                           max_files_per_trigger: int | None = None,
+                           output_dir: str | None = None,
+                           checkpoint_dir: str | None = None) -> DataFrame:
+    """Per-(window, event_type) counts and value sums for every window
+    the watermark has closed.
+
+    With ``output_dir``/``checkpoint_dir`` the query appends to a
+    parquet sink and the watermark persists across runs — a late file
+    ingested by a RESTARTED query is filtered against the restored
+    watermark (the production late-data path; within one AvailableNow
+    run the late-record filter uses the trigger's starting watermark,
+    so cross-run restarts are where the drop is observable)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.parquet(as_stream_dir(input_path))
+    agg = (stream
+           .withWatermark("ts", f"{watermark_minutes} minutes")
+           .groupBy(F.window("ts", f"{window_minutes} minutes"),
+                    "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 3).alias("total_value"))
+           .select(F.unix_timestamp("window.start").alias("window_start"),
+                   "event_type", "n_events", "total_value"))
+    if output_dir is not None:
+        q = (agg.writeStream
+             .format("parquet")
+             .option("path", output_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return spark.read.parquet(output_dir)
+    name = "windowed_counts_" + uuid.uuid4().hex[:12]
+    q = (agg.writeStream
+         .format("memory")
+         .queryName(name)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)

@@ -59,3 +59,34 @@ def test_filter_pushdown_reaches_scan(spark):
           .filter(F.col("doc_id") > 10).select("doc_id"))
     pushed = P.pushed_filters(df)
     assert "GreaterThan" in pushed or "doc_id" in pushed
+
+
+def test_embedding_blocked_ops_avoid_cartesian(spark):
+    """The scale-path similarity ops must never plan a CartesianProduct:
+    LSH candidates come from an equi-join on band codes (hash-join
+    family), and IVF's top-k is a TakeOrderedAndProject, not a global
+    sort.  The exact near-dup baseline IS an all-pairs theta-join — it
+    plans as a broadcast nested loop by design (it is the oracle, not
+    the scale path)."""
+    import os
+
+    import pytest
+
+    from ocr_proofreader_spark.operators import training_ops as ops
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(src):
+        pytest.skip("driver testdata missing")
+    emb = spark.read.parquet(src)
+
+    lsh = P.physical_plan(ops.embedding_near_dup_lsh(emb))
+    assert "CartesianProduct" not in lsh
+    assert "BroadcastNestedLoopJoin" not in lsh
+    assert "HashJoin" in lsh  # Broadcast- at test scale, Shuffled- at SF
+
+    ivf = P.physical_plan(ops.ann_topk_ivf(emb))
+    assert "CartesianProduct" not in ivf
+    assert "TakeOrderedAndProject" in ivf
+
+    exact = P.physical_plan(ops.embedding_near_dup(emb))
+    assert "CartesianProduct" not in exact
+    assert "BroadcastNestedLoopJoin" in exact

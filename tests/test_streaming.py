@@ -90,3 +90,67 @@ def test_stateful_sessionize_stream_across_batches(spark, tmp_path):
          for r in closed.collect()}
     assert g == b
     assert len(g) > 0
+
+
+def test_windowed_stream_drops_late_events(spark, tmp_path):
+    """Watermark contract across RESTARTS: a late file ingested by a
+    restarted query is filtered against the checkpoint-restored
+    watermark — the emitted window counts never include the late event.
+    (Within a single AvailableNow run the late filter uses the trigger's
+    starting watermark, so the restart is where the drop is observable.)
+    """
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ocr_proofreader_spark.streaming.windowed import (
+        windowed_counts_stream)
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(src):
+        pytest.skip("driver testdata missing")
+    ev = spark.read.parquet(src)
+    in_dir = str(tmp_path / "ev_win")
+    out_dir = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+    os.makedirs(in_dir)
+
+    def land(name, part_df):
+        d = os.path.join(in_dir, "_w")
+        part_df.coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(d, part), os.path.join(in_dir, name))
+        shutil.rmtree(d)
+
+    # run 1: all on-time events -> watermark = max(ts) - 30min persisted
+    land("b0.parquet", ev)
+    first = windowed_counts_stream(spark, in_dir, output_dir=out_dir,
+                                   checkpoint_dir=ckpt)
+    n_first = first.count()
+    assert n_first > 0
+
+    # a very old event lands AFTER the run; restart ingests it against
+    # the restored watermark -> dropped, nothing new emitted
+    oldest = ev.orderBy("ts", "event_id").limit(1)
+    late = (oldest.withColumn("event_id", F.lit(999999).cast("long"))
+            .withColumn("value", F.lit(1000.0)))
+    land("b1.parquet", late)
+    got = windowed_counts_stream(spark, in_dir, output_dir=out_dir,
+                                 checkpoint_dir=ckpt)
+    g = {(r["window_start"], r["event_type"]):
+         (r["n_events"], r["total_value"]) for r in got.collect()}
+    assert len(g) == n_first          # no duplicate / re-emitted window
+
+    # emitted rows equal the ON-TIME batch counts for closed windows
+    mx = ev.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    batch = (ev.groupBy(
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+        .alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 3).alias("tv")))
+    b = {(r["window_start"], r["event_type"]): (r["n"], r["tv"])
+         for r in batch.collect()
+         if r["window_start"] + 3600 <= mx - 1800}
+    assert g == b          # late event contributed to nothing
