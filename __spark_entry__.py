@@ -157,6 +157,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_words_per_lang": lambda s, d: rel.top_words_per_lang(
             _t(s, d, "documents")),
         "sessionize": lambda s, d: rel.sessionize(_t(s, d, "events")),
+        "promo_revenue": lambda s, d: rel.promo_revenue(
+            _t(s, d, "lineitem"), _t(s, d, "part")),
+        "supplier_nation_revenue": lambda s, d: rel.supplier_nation_revenue(
+            _t(s, d, "lineitem"), _t(s, d, "supplier"),
+            _t(s, d, "nation")),
+        "orders_rollup_cube": lambda s, d: rel.orders_rollup_cube(
+            _t(s, d, "orders"), _t(s, d, "customer")),
         "sessionize_stream_closed": _sessionize_stream_closed,
         "windowed_counts_stream": _windowed_counts_stream,
         # engine-shaped relational ops (SURVEY.md section 2.5)
@@ -336,6 +343,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch,
                    round(sum(value), 3) AS total_value
             FROM s GROUP BY user_id, session_no""",
+        "promo_revenue": """
+            SELECT p_brand,
+                   round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0.0 END), 2) AS promo_rev,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_rev,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand""",
+        "supplier_nation_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "orders_rollup_cube": """
+            SELECT CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL'
+                        ELSE c_mktsegment END AS mktsegment,
+                   CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                        ELSE o_orderstatus END AS orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY ROLLUP (c_mktsegment, o_orderstatus)""",
         "sessionize_stream_closed": """
             WITH g AS (
               SELECT user_id, event_id, ts, value,

@@ -82,3 +82,53 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                  F.min(F.unix_timestamp("ts")).alias("start_epoch"),
                  F.max(F.unix_timestamp("ts")).alias("end_epoch"),
                  F.round(F.sum("value"), 3).alias("total_value")))
+
+
+def promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14-shaped: broadcast part-dimension join + conditional
+    aggregation (promo revenue share per brand)."""
+    j = lineitem.join(F.broadcast(part),
+                      lineitem.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (j.groupBy("p_brand")
+            .agg(F.round(F.sum(F.when(F.col("p_type").startswith("PROMO"),
+                                      rev).otherwise(F.lit(0.0))), 2)
+                 .alias("promo_rev"),
+                 F.round(F.sum(rev), 2).alias("total_rev"),
+                 F.count("*").alias("n_lines")))
+
+
+def supplier_nation_revenue(lineitem: DataFrame, supplier: DataFrame,
+                            nation: DataFrame) -> DataFrame:
+    """Two chained broadcast dimension joins: revenue by supplier
+    nation (TPC-H Q5/Q7 shape on the supplier side)."""
+    j = (lineitem
+         .join(F.broadcast(supplier),
+               lineitem.l_suppkey == supplier.s_suppkey)
+         .join(F.broadcast(nation),
+               supplier.s_nationkey == nation.n_nationkey))
+    return (j.groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+def orders_rollup_cube(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (grouping-sets family): order
+    counts and revenue by (mktsegment, orderstatus), by mktsegment, and
+    grand total.  Subtotal rows are labelled 'ALL' via grouping() — not
+    coalesce — so a genuine NULL group key can never masquerade as a
+    subtotal."""
+    j = orders.join(F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey)
+    return (j.rollup("c_mktsegment", "o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.grouping("c_mktsegment").alias("_g1"),
+                 F.grouping("o_orderstatus").alias("_g2"))
+            .select(F.when(F.col("_g1") == 1, F.lit("ALL"))
+                    .otherwise(F.col("c_mktsegment")).alias("mktsegment"),
+                    F.when(F.col("_g2") == 1, F.lit("ALL"))
+                    .otherwise(F.col("o_orderstatus")).alias("orderstatus"),
+                    "n_orders", "revenue"))
