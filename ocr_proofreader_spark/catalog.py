@@ -57,3 +57,23 @@ class Catalog:
             except Exception:
                 return False
         return os.path.isdir(self._path(table))
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
+                   n_buckets: int, mode: str = "overwrite") -> None:
+    """Persist a table bucketed (and sorted) by join key.
+
+    Two tables bucketed the same way join WITHOUT a shuffle — each
+    bucket pair is co-located, so at 100 TB the big fact-to-fact join
+    costs zero network.  Bucketing needs the session catalog
+    (saveAsTable), unlike plain path writes; on Iceberg the same effect
+    comes from a bucket(...) partition transform."""
+    (df.write.mode(mode)
+     .bucketBy(n_buckets, *bucket_cols)
+     .sortBy(*bucket_cols)
+     .format("parquet")
+     .saveAsTable(table_name))
+
+
+def read_table(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)

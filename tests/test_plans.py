@@ -90,3 +90,28 @@ def test_embedding_blocked_ops_avoid_cartesian(spark):
     exact = P.physical_plan(ops.embedding_near_dup(emb))
     assert "CartesianProduct" not in exact
     assert "BroadcastNestedLoopJoin" in exact
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located bucketed join: two tables bucketed on the same key
+    join with ZERO exchanges — the scale answer for repeated
+    fact-to-fact joins (SURVEY.md section 2.4 bucketing)."""
+    from ocr_proofreader_spark.catalog import read_table, write_bucketed
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.range(0, 10_000).selectExpr(
+            "id AS k", "id * 2 AS v1")
+        df2 = spark.range(0, 10_000).selectExpr(
+            "id AS k", "id * 3 AS v2")
+        write_bucketed(df, "bt_a", ["k"], 8)
+        write_bucketed(df2, "bt_b", ["k"], 8)
+        joined = read_table(spark, "bt_a").join(
+            read_table(spark, "bt_b"), "k")
+        assert joined.count() == 10_000
+        plan = P.physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert P.count_exchanges(joined) == 0   # no shuffle either side
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
