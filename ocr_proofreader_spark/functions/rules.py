@@ -41,9 +41,20 @@ HEADING_RE = re.compile(r"^(CHAPTER|CHAPITRE|BOOK|PART)\b[A-Z0-9 .IVXLC-]*$")
 FS_SWAP = {"f": "s", "s": "f"}
 
 
+def char_mask(w: str) -> int:
+    """32-bit distinct-character signature.  a-z map injectively to bits
+    0..25; anything else hashes into the same 32-bit space (collisions
+    only weaken — never invalidate — the lower bound below)."""
+    m = 0
+    for c in w:
+        m |= 1 << ((ord(c) - 97) & 31)
+    return m
+
+
 def dist_le2(a: str, b: str) -> int:
     """Levenshtein distance if <= 2, else 3.  Prefix/suffix strip + banded
-    DP (band half-width 2)."""
+    DP (band half-width 2); inner loop inlined (no min() calls) — this is
+    the single hottest function in the engine."""
     la, lb = len(a), len(b)
     if a == b:
         return 0
@@ -67,11 +78,21 @@ def dist_le2(a: str, b: str) -> int:
     for r in range(1, m + 1):
         ca = a[r - 1]
         cur = [r]
+        append = cur.append
+        left = r                      # cur[c-1]
         row_min = r
         for c in range(1, n + 1):
-            cost = 0 if ca == b[c - 1] else 1
-            v = min(prev[c] + 1, cur[c - 1] + 1, prev[c - 1] + cost)
-            cur.append(v)
+            v = prev[c - 1]
+            if ca != b[c - 1]:
+                v += 1
+            x = prev[c] + 1
+            if x < v:
+                v = x
+            x = left + 1
+            if x < v:
+                v = x
+            append(v)
+            left = v
             if v < row_min:
                 row_min = v
         if row_min > 2:
@@ -82,15 +103,16 @@ def dist_le2(a: str, b: str) -> int:
 
 
 class LexIndex:
-    """Base-lexicon index: membership set + (first, len) buckets."""
+    """Base-lexicon index: membership set + (first, len) buckets of
+    (word, char_mask) pairs — the mask feeds the R4 prefilter."""
 
     __slots__ = ("base", "buckets")
 
     def __init__(self, base: frozenset):
         self.base = base
-        buckets: dict[tuple[str, int], list[str]] = {}
+        buckets: dict[tuple[str, int], list[tuple[str, int]]] = {}
         for w in sorted(base):
-            buckets.setdefault((w[0], len(w)), []).append(w)
+            buckets.setdefault((w[0], len(w)), []).append((w, char_mask(w)))
         self.buckets = buckets
 
     def bucket_candidates(self, first: str, length: int):
@@ -148,11 +170,12 @@ class DocProofreader:
     def _frequent_candidates(self, first: str, length: int):
         """Book-frequent words (freq >= K, alphabetic) in the R4 bucket."""
         if self._freq_buckets is None:
-            fb: dict[tuple[str, int], list[str]] = {}
+            fb: dict[tuple[str, int], list[tuple[str, int]]] = {}
             for w, c in self.freq.items():
                 if c >= self.freq_k and w not in self.lex.base \
                         and ALPHA_RE.match(w):
-                    fb.setdefault((w[0], len(w)), []).append(w)
+                    fb.setdefault((w[0], len(w)), []).append(
+                        (w, char_mask(w)))
             for lst in fb.values():
                 lst.sort()
             self._freq_buckets = fb
@@ -219,14 +242,22 @@ class DocProofreader:
         best_key = None
         best_cand = None
         freq = self.freq
-        for cand in self.lex.bucket_candidates(first, L):
+        # distinct-char lower bound: chars of one side absent from the
+        # other each cost >= 1 edit, so > 2 missing bits can never reach
+        # distance <= 2 — skips the DP for the vast majority of the bucket
+        tm = char_mask(t)
+        for cand, cm in self.lex.bucket_candidates(first, L):
+            if (tm & ~cm).bit_count() > 2 or (cm & ~tm).bit_count() > 2:
+                continue
             d = dist_le2(t, cand)
             if d > 2:
                 continue
             key = (d, -freq.get(cand, 0), abs(len(cand) - L), cand)
             if best_key is None or key < best_key:
                 best_key, best_cand = key, cand
-        for cand in self._frequent_candidates(first, L):
+        for cand, cm in self._frequent_candidates(first, L):
+            if (tm & ~cm).bit_count() > 2 or (cm & ~tm).bit_count() > 2:
+                continue
             d = dist_le2(t, cand)
             if d > 2:
                 continue
