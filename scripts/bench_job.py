@@ -42,8 +42,13 @@ def main() -> None:
     cfg = RunConfig(rebalance_partitions=args.cpus * 2)
     lex_bc = broadcast_lexicon(spark, load_base_lexicon(cfg.lexicon_path))
 
-    # warm-up: JVM/Python-worker spin-up excluded from the measured run
-    proofread(spark, docs.limit(64), cfg, lex_bc).count()
+    # warm-up: JVM/Python-worker spin-up excluded from the measured run.
+    # Spread the warm-up across one partition per core so EVERY Python
+    # worker is live (imports done, broadcast lexicon unpickled) before
+    # the clock starts — limit(64) alone warms only 1-2 workers.
+    proofread(spark,
+              docs.limit(8 * args.cpus).repartition(args.cpus),
+              cfg, lex_bc).count()
 
     t0 = time.time()
     out = proofread(spark, docs, cfg, lex_bc)

@@ -35,8 +35,10 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 PAIRS = [  # (n_cpus, 4n_cpus, corpus_docs)
-    (2, 8, 60_000),
-    (8, 32, 120_000),
+    # both pairs sized so every wall stays >> host noise after the R4
+    # prefilter speedup (walls under ~40s proved noise-dominated)
+    (2, 8, 150_000),
+    (8, 32, 240_000),
 ]
 
 
@@ -71,24 +73,35 @@ def spark_submit(cpus: int, corpus: str, zip_path: str, out_json: str):
 
 def bench_pair(n: int, n4: int, corpus: str, zip_path: str, runs: int,
                bench_dir: str) -> dict:
-    out = {}
-    for cpus in (n, n4):
-        walls, digests = [], set()
-        for r in range(runs):
+    """Run the two levels INTERLEAVED (n, n4, n, n4, ...) so both sides
+    of the ratio sample the same host weather — block-sequential runs
+    let a noise burst land entirely on one level and bias the ratio.
+    Efficiency is computed from the per-level MIN wall (the least-noise
+    estimate; external load only ever adds time), medians reported too."""
+    walls = {n: [], n4: []}
+    digests = set()
+    n_docs = None
+    for r in range(runs):
+        for cpus in (n, n4):
             res = spark_submit(cpus, corpus, zip_path,
                                os.path.join(bench_dir,
                                             f"run_{cpus}_{r}.json"))
-            walls.append(res["wall_sec"])
+            walls[cpus].append(res["wall_sec"])
             digests.add(res["digest"])
+            n_docs = res["docs"]
             print(f"  local[{cpus}] run {r}: {res['wall_sec']}s "
                   f"({res['docs_per_sec']} docs/s)", flush=True)
-        assert len(digests) == 1, "nondeterministic output!"
-        med = statistics.median(walls)
-        out[cpus] = {"wall_sec_median": med, "runs": walls,
-                     "docs_per_sec": round(res["docs"] / med, 1),
-                     "digest": digests.pop()}
-    assert out[n]["digest"] == out[n4]["digest"], \
-        "output differs between parallelism levels!"
+    assert len(digests) == 1, \
+        "output differs across runs/parallelism levels!"
+    digest = digests.pop()
+    out = {}
+    for cpus in (n, n4):
+        best = min(walls[cpus])
+        out[cpus] = {"wall_sec_min": best,
+                     "wall_sec_median": statistics.median(walls[cpus]),
+                     "runs": walls[cpus],
+                     "docs_per_sec": round(n_docs / best, 1),
+                     "digest": digest}
     out["efficiency"] = round(
         (out[n4]["docs_per_sec"] / out[n]["docs_per_sec"]) / (n4 / n), 3)
     return out
@@ -143,10 +156,13 @@ def main() -> None:
     lines = ["# BENCH/BASELINE.md — measured N vs 4N scaling (sandbox proxy)",
              "",
              "Same job, same input, same host; spark-submit --py-files "
-             "dist/engine.zip; median of "
-             f"{runs} warm run(s); corpus generation (S18) excluded from "
-             "timing; in-job warm-up pass excludes JVM/Python-worker "
-             "spin-up.  Output digests (bit_xor of per-doc xxhash64) are "
+             "dist/engine.zip; the two levels run INTERLEAVED, "
+             f"{runs} warm run(s) each, efficiency from the per-level "
+             "min wall (least-noise estimate: external load only ever "
+             "adds time); corpus generation (S18) excluded from "
+             "timing; in-job warm-up pass (one partition per core) "
+             "excludes JVM/Python-worker spin-up.  Output digests "
+             "(bit_xor of per-doc xxhash64) are "
              "identical across every run and parallelism level — "
              "determinism the resume protocol relies on.",
              "",
@@ -165,11 +181,12 @@ def main() -> None:
         lines += [
             f"## local[{n}] (N) vs local[{n4}] (4N) — {docs} docs",
             "",
-            "| Config | wall s (median) | docs/sec |", "|---|---|---|",
-            f"| local[{n}] | {r[n]['wall_sec_median']} "
-            f"| {r[n]['docs_per_sec']} |",
-            f"| local[{n4}] | {r[n4]['wall_sec_median']} "
-            f"| {r[n4]['docs_per_sec']} |",
+            "| Config | wall s (min) | wall s (median) | docs/sec (min) |",
+            "|---|---|---|---|",
+            f"| local[{n}] | {r[n]['wall_sec_min']} "
+            f"| {r[n]['wall_sec_median']} | {r[n]['docs_per_sec']} |",
+            f"| local[{n4}] | {r[n4]['wall_sec_min']} "
+            f"| {r[n4]['wall_sec_median']} | {r[n4]['docs_per_sec']} |",
             "",
             f"**Engine scaling efficiency = {r['efficiency']}**"
             f" (host ideal-parallel ceiling at these thread counts:"
