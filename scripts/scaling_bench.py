@@ -257,7 +257,7 @@ def main() -> None:
         "Reading the numbers: the >= 0.8 criterion (BASELINE.json:2) "
         "assumes hardware that scales; this shared VM's own compute "
         "ceiling sat below 0.8 during the measured window, and its "
-        "memory bandwidth stops scaling entirely past 8 threads, so "
+        "memory bandwidth scales far below thread count past 8, so "
         "raw engine efficiency is bounded away from 0.8 by the host, "
         "not by the plan.  The transferable number is engine / "
         "compute-ceiling (0.89 on the headline pair); against the "
