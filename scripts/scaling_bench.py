@@ -253,22 +253,26 @@ def main() -> None:
             f"{r['host_bandwidth_efficiency']}; engine / compute-ceiling"
             f" = {r['engine_vs_host_ceiling']}).",
             ""]
+    head = results[f"local{pairs[0][0]}_vs_local{pairs[0][1]}"]
+    head_eff = head["efficiency"]
+    verdict = ("MEETS" if head_eff >= 0.8 else
+               "misses (host-bound, see ceilings)")
     lines += [
-        "Reading the numbers: the >= 0.8 criterion (BASELINE.json:2) "
-        "assumes hardware that scales; this shared VM's own compute "
-        "ceiling sat below 0.8 during the measured window, and its "
-        "memory bandwidth scales far below thread count past 8, so "
-        "raw engine efficiency is bounded away from 0.8 by the host, "
-        "not by the plan.  The transferable number is engine / "
-        "compute-ceiling (0.89 on the headline pair); against the "
-        "bandwidth ceiling the headline pair lands at parity or above "
-        "— i.e. the plan adds little beyond what the data plane "
-        "physically costs.  On "
-        "quieter windows the raw headline measured 0.86-1.05 (git "
-        "history of this file); per-run spreads in BENCH/scaling.json "
-        "show the noise.  No serial stage exists in the plan: the fast "
-        "path is a single shuffle-free mapInPandas stage (see "
-        "tests/test_plans.py).",
+        f"Reading the numbers: the headline local[{pairs[0][0]}]->"
+        f"local[{pairs[0][1]}] pair measured **{head_eff}**, which "
+        f"{verdict} the >= 0.8 N->4N criterion (BASELINE.json:2).  "
+        "Raw efficiency on this shared VM is bounded by the host's own "
+        "same-window ceilings printed next to each pair — per-core "
+        "clocks sag as cores load and memory bandwidth scales far "
+        "below thread count past 8 threads — so the supplementary "
+        "local[8]->local[32] pair chiefly measures the hardware, not "
+        "the plan (its bandwidth ceiling sits well under its compute "
+        "ceiling).  Across repeated sessions the raw headline measured "
+        "0.70-1.05 tracking host weather (git history of this file); "
+        "per-run spreads in BENCH/scaling.json show the noise, which "
+        "the interleaved min-of-3 protocol suppresses.  No serial "
+        "stage exists in the plan: the fast path is a single "
+        "shuffle-free mapInPandas stage (see tests/test_plans.py).",
         "",
         "Knobs: spark.sql.shuffle.partitions = cpus; "
         "repartitionByRange(salt, doc_id) into 2x cpus ranges (NSALT=8); "
