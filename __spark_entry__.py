@@ -22,6 +22,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# array<float> columns cannot survive the driver's pandas canonicalizer
+# (sort_values factorizes cells -> "unhashable type: list"), so contract
+# queries project them to a scalar digest computed IDENTICALLY in both
+# engines: md5 over comma-joined floor(x * 1e6) int64s.  floor-of-double
+# is bit-identical across Spark and DuckDB (a bare CAST is not: Spark
+# truncates, DuckDB rounds), and both promote float32 -> float64 exactly.
+def _digest_arr(col: str) -> str:
+    """Spark SQL expression: deterministic scalar digest of array<float>."""
+    return (f"md5(concat_ws(',', transform({col}, x -> "
+            f"cast(cast(floor(cast(x as double) * 1000000) as bigint)"
+            f" as string))))")
+
+
+def _digest_arr_sql(col: str) -> str:
+    """DuckDB twin of :func:`_digest_arr` (same bytes hashed)."""
+    return (f"md5(array_to_string([CAST(CAST(floor(CAST(x AS DOUBLE)"
+            f" * 1000000) AS BIGINT) AS VARCHAR) for x in {col}], ','))")
+
+
 # ---------------------------------------------------------------------------
 # flagship pipeline plumbing
 
@@ -220,13 +239,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings")),
         "media_inventory": lambda s, d: media_inventory(
             interleaved_from_flat(_t(s, d, "documents"))),
+        # the decode/resize/frames stages emit array<float> features; the
+        # contract projection digests them (driver canonicalizer cannot
+        # hash list cells) — the arrays themselves stay first-class in the
+        # operators and are pinned by tests/test_multimodal.py
         "media_decode": lambda s, d: decode_media(media_inventory(
-            interleaved_from_flat(_t(s, d, "documents")))),
+            interleaved_from_flat(_t(s, d, "documents")))).select(
+                "doc_id", "media_ref", "page", "width", "height",
+                F.expr(_digest_arr("features")).alias("features_digest")),
         "media_resize": lambda s, d: resize_media(decode_media(
             media_inventory(interleaved_from_flat(
-                _t(s, d, "documents"))))),
+                _t(s, d, "documents"))))).select(
+                "doc_id", "media_ref", "page", "width", "height",
+                F.expr(_digest_arr("features")).alias("features_digest"),
+                "out_width", "out_height", "scale"),
         "media_frames": lambda s, d: sample_frames(media_inventory(
-            interleaved_from_flat(_t(s, d, "documents")))),
+            interleaved_from_flat(_t(s, d, "documents")))).select(
+                "doc_id", "media_ref", "frame_idx", "t_offset_sec",
+                F.expr(_digest_arr("frame_features"))
+                .alias("frame_features_digest")),
     }
 
 
@@ -540,26 +571,34 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": f"""
             WITH {_MEDIA_CTE},
             {_DECODE_CTE}
-            SELECT * FROM dec""",
+            SELECT doc_id, media_ref, page, width, height,
+                   {_digest_arr_sql('features')} AS features_digest
+            FROM dec""",
         "media_resize": f"""
             WITH {_MEDIA_CTE},
             {_DECODE_CTE}
-            SELECT doc_id, media_ref, page, width, height, features,
+            SELECT doc_id, media_ref, page, width, height,
+                   {_digest_arr_sql('features')} AS features_digest,
                    CAST(ceil(width * sc) AS INT) AS out_width,
                    CAST(ceil(height * sc) AS INT) AS out_height,
                    CAST(sc AS FLOAT) AS scale
             FROM (SELECT *, 512.0 / greatest(width, height) AS sc
                   FROM dec)""",
         "media_frames": f"""
-            WITH {_MEDIA_CTE}
-            SELECT doc_id, media_ref, CAST(i AS INT) AS frame_idx,
-                   CAST((1.0 + {_md5_byte('media_ref', 2)}) * i / 4.0
-                        AS FLOAT) AS t_offset_sec,
-                   [CAST(CAST('0x' || substr(
-                          md5(media_ref || '#' || CAST(i AS VARCHAR)),
-                          2*j+1, 2) AS INTEGER) / 255.0 AS FLOAT)
-                    for j in range(0, 8)] AS frame_features
-            FROM media CROSS JOIN (SELECT unnest(range(0, 4)) AS i)""",
+            WITH {_MEDIA_CTE},
+            frames AS (
+              SELECT doc_id, media_ref, CAST(i AS INT) AS frame_idx,
+                     CAST((1.0 + {_md5_byte('media_ref', 2)}) * i / 4.0
+                          AS FLOAT) AS t_offset_sec,
+                     [CAST(CAST('0x' || substr(
+                            md5(media_ref || '#' || CAST(i AS VARCHAR)),
+                            2*j+1, 2) AS INTEGER) / 255.0 AS FLOAT)
+                      for j in range(0, 8)] AS frame_features
+              FROM media CROSS JOIN (SELECT unnest(range(0, 4)) AS i))
+            SELECT doc_id, media_ref, frame_idx, t_offset_sec,
+                   {_digest_arr_sql('frame_features')}
+                       AS frame_features_digest
+            FROM frames""",
         "embedding_near_dup": """
             WITH n AS (
               SELECT vec_id, embedding,
@@ -589,8 +628,8 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings CROSS JOIN q)
             SELECT vec_id, round(c, 3) + 0.0 AS cosine
             FROM cos ORDER BY c DESC, vec_id LIMIT 10""",
-        # NOTE: bucket_assignment (xxhash64), proofread_* (the frozen-rule
-        # pipeline), ann_topk_lsh, label_centroid_sim and media_* are not
-        # DuckDB-expressible -> rows-only checks; their correctness gate is
-        # the pytest oracle-parity suite (tests/test_spark_parity.py).
+        # NOTE: proofread_* (the frozen-rule pipeline) and the LSH/IVF ANN
+        # internals are not DuckDB-expressible -> rows-only checks; their
+        # correctness gate is the pytest oracle-parity suite
+        # (tests/test_spark_parity.py, test_embedding_ops.py).
     }

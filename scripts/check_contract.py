@@ -18,6 +18,13 @@ import duckdb
 def norm_cell(v):
     if v is None:
         return "NULL"
+    if isinstance(v, (list, tuple, dict, set)):
+        # the external driver's canonicalizer factorizes cells via pandas
+        # and DIES on container cells; fail loudly here so the local gate
+        # never passes something the driver would error on
+        raise TypeError(
+            f"container-typed cell {type(v).__name__} — the driver "
+            f"canonicalizer cannot hash it; project to a scalar digest")
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float):
@@ -72,8 +79,13 @@ def main(sf_dir: str) -> int:
             continue
         ok_count = len(rows) == len(orows)
         ok_cols = sorted(cols) == sorted(ocols)
-        ok_hash = (value_hash(cols, rows) == value_hash(ocols, orows)
-                   if ok_cols else False)
+        try:
+            ok_hash = (value_hash(cols, rows) == value_hash(ocols, orows)
+                       if ok_cols else False)
+        except TypeError as e:
+            failures.append(name)
+            print(f"FAIL  {name}: {e}")
+            continue
         status = "OK   " if (ok_count and ok_cols and ok_hash) else "FAIL "
         if status.startswith("FAIL"):
             failures.append(name)
