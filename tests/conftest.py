@@ -28,9 +28,23 @@ def spark():
     s.stop()
 
 
+def _gen_source_hash() -> str:
+    """Hash of the corpus generator + frozen-rule oracle sources: any edit
+    to either invalidates cached corpora (a stale cache would silently run
+    the parity suite against outputs of old semantics)."""
+    import hashlib
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.md5()
+    for rel in ("fixtures/gen.py", "oracle/refsem.py"):
+        with open(os.path.join(root, rel), "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:10]
+
+
 def _ensure_corpus(n_docs: int, name: str) -> str:
-    """Generate (once, cached on disk) a validated fixture corpus."""
-    out_dir = os.path.join(CACHE_DIR, name)
+    """Generate (once, cached on disk keyed by generator-source hash) a
+    validated fixture corpus."""
+    out_dir = os.path.join(CACHE_DIR, f"{name}-{_gen_source_hash()}")
     marker = os.path.join(out_dir, "_DONE")
     if not os.path.exists(marker):
         from fixtures.gen import write_parquet
