@@ -456,6 +456,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment""",
+        # twin of operators/resume.py::bucket_col — the resume protocol's
+        # replay unit; md5-derived (first 60 bits) precisely so an engine
+        # other than Spark can recompute the assignment bit-for-bit
+        "bucket_assignment": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 15) AS BIGINT) % 16
+                        AS INT) AS bucket
+            FROM documents""",
         "token_count": f"""
             SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
             FROM documents""",

@@ -33,8 +33,16 @@ from ocr_proofreader_spark.schemas import LINEAGE
 
 
 def bucket_col(num_buckets: int):
-    """Deterministic doc_id -> bucket (stable across runs/parallelism)."""
-    return F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
+    """Deterministic doc_id -> bucket (stable across runs/parallelism).
+
+    md5-derived (first 60 bits) rather than xxhash64 so the assignment is
+    reproducible OUTSIDE Spark too — the driver's DuckDB oracle recomputes
+    it bit-for-bit.  Any stable hash satisfies the resume protocol; what
+    matters is that the same doc lands in the same bucket on every run
+    and at every cluster size."""
+    h = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10).cast("bigint"))
+    return F.pmod(h, F.lit(num_buckets)).cast("int")
 
 
 def resume_filter(docs: DataFrame, done: DataFrame,
@@ -135,5 +143,17 @@ class ResumableRunner:
     def read_output(self) -> DataFrame:
         return self.spark.read.parquet(self.data_dir)
 
-    def read_lineage(self) -> DataFrame:
-        return self.spark.read.parquet(self.lineage_dir)
+    def read_lineage(self, dedupe: bool = True) -> DataFrame:
+        """Lineage rows, deduped by default to the latest attempt per
+        bucket: a crash in the window between the data rename and the
+        ``.done`` marker write replays the bucket on restart and appends a
+        second ``ok`` row, so raw reads would double-count rollups.  Pass
+        ``dedupe=False`` for the full audit trail."""
+        df = self.spark.read.parquet(self.lineage_dir)
+        if not dedupe:
+            return df
+        from pyspark.sql import Window
+        w = Window.partitionBy("partition_id").orderBy(
+            F.desc("attempt"), F.desc("finished_at"))
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
