@@ -608,6 +608,38 @@ def oracle_sql() -> dict[str, str]:
                    {_digest_arr_sql('frame_features')}
                        AS frame_features_digest
             FROM frames""",
+        # twin of training_ops.label_centroid_sim: per-dimension sums via
+        # zipped unnest, centroid = sum/n, avg member->centroid cosine.
+        # Accumulation order differs between engines (Spark folds
+        # collect_list, DuckDB hash-aggregates) but the 3dp round absorbs
+        # the ~1e-13 float noise.
+        "label_centroid_sim": """
+            WITH ex AS (
+              SELECT label,
+                     unnest(range(1, len(embedding)+1)) AS i,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings),
+            cent_sum AS (
+              SELECT label, i, sum(x) AS s FROM ex GROUP BY label, i),
+            nmem AS (SELECT label, count(*) AS n FROM embeddings
+                     GROUP BY label),
+            centroid AS (
+              SELECT label, list(s / n ORDER BY i) AS centroid
+              FROM cent_sum JOIN nmem USING (label)
+              GROUP BY label),
+            sim AS (
+              SELECT e.label,
+                     list_sum([CAST(e.embedding[i] AS DOUBLE)
+                               * c.centroid[i]
+                               for i in range(1, len(e.embedding)+1)])
+                     / (sqrt(list_sum([CAST(x AS DOUBLE) * x
+                                       for x in e.embedding]))
+                        * sqrt(list_sum([x * x for x in c.centroid])))
+                         AS cos
+              FROM embeddings e JOIN centroid c USING (label))
+            SELECT label, round(avg(cos), 3) AS avg_cohesion,
+                   count(*) AS n_members
+            FROM sim GROUP BY label""",
         "embedding_near_dup": """
             WITH n AS (
               SELECT vec_id, embedding,
