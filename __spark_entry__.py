@@ -237,6 +237,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings")),
         "label_centroid_sim": lambda s, d: ops.label_centroid_sim(
             _t(s, d, "embeddings")),
+        # ANN/near-dup quality gates: ground-truth side (brute digest /
+        # exact pair count) recomputed by the DuckDB twin; the boolean
+        # floor columns flip on a recall regression and fail the hash
+        "ann_recall_lsh": lambda s, d: ops.ann_recall(
+            _t(s, d, "embeddings"), variant="lsh"),
+        "ann_recall_ivf": lambda s, d: ops.ann_recall(
+            _t(s, d, "embeddings"), variant="ivf"),
+        "near_dup_lsh_quality": lambda s, d: ops.near_dup_lsh_quality(
+            _t(s, d, "embeddings")),
         "media_inventory": lambda s, d: media_inventory(
             interleaved_from_flat(_t(s, d, "documents"))),
         # the decode/resize/frames stages emit array<float> features; the
@@ -311,6 +320,27 @@ dec AS (
          [CAST(CAST('0x' || substr(md5(media_ref), 2*i+1, 2) AS INTEGER)
                / 255.0 AS FLOAT) for i in range(0, 8)] AS features
   FROM media)"""
+
+
+# brute-force top-k ground truth for both ANN recall gates (the digest
+# side is engine-independent; the floor boolean is pinned — see NOTE at
+# the gate entries below)
+_ANN_RECALL_ORACLE = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT vec_id,
+             list_sum([CAST(embedding[i] AS DOUBLE) * qe[i]
+                       for i in range(1, len(embedding)+1)])
+             / (sqrt(list_sum([CAST(x AS DOUBLE) * x for x in embedding]))
+                * sqrt(list_sum([CAST(x AS DOUBLE) * x for x in qe])))
+                 AS c
+      FROM embeddings CROSS JOIN q),
+    brute AS (SELECT vec_id FROM cos ORDER BY c DESC, vec_id LIMIT 10)
+    SELECT count(*) AS k,
+           md5(array_to_string(list_sort(list(CAST(vec_id AS VARCHAR))),
+                               ',')) AS brute_topk_digest,
+           true AS recall_floor_met
+    FROM brute"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -669,6 +699,29 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings CROSS JOIN q)
             SELECT vec_id, round(c, 3) + 0.0 AS cosine
             FROM cos ORDER BY c DESC, vec_id LIMIT 10""",
+        # ANN quality gates: the oracle recomputes the GROUND-TRUTH side
+        # (brute top-k digest / exact pair count) independently; the
+        # boolean floor columns are properties only the engine can
+        # measure (DuckDB cannot run LSH/IVF), pinned to their required
+        # value — an engine-side recall regression fails the hash.
+        "ann_recall_lsh": _ANN_RECALL_ORACLE,
+        "ann_recall_ivf": _ANN_RECALL_ORACLE,
+        "near_dup_lsh_quality": """
+            WITH n AS (
+              SELECT vec_id, embedding,
+                     sqrt(list_sum([CAST(x AS DOUBLE) * x
+                                    for x in embedding])) AS nrm
+              FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS v1, b.vec_id AS v2,
+                     list_sum([CAST(a.embedding[i] AS DOUBLE)
+                               * b.embedding[i]
+                               for i in range(1, len(a.embedding)+1)])
+                     / (a.nrm * b.nrm) AS c
+              FROM n a JOIN n b ON a.vec_id < b.vec_id)
+            SELECT count(*) AS n_exact,
+                   true AS subset_ok, true AS recall_floor_met
+            FROM pairs WHERE c >= 0.40""",
         # NOTE: proofread_* (the frozen-rule pipeline) and the LSH/IVF ANN
         # internals are not DuckDB-expressible -> rows-only checks; their
         # correctness gate is the pytest oracle-parity suite

@@ -49,6 +49,40 @@ def test_near_dup_lsh_deterministic(spark, emb):
     assert r1 == r2
 
 
+def test_ann_lsh_recall_vs_brute(spark, emb):
+    from ocr_proofreader_spark.operators import training_ops as ops
+    brute = [r["vec_id"] for r in ops.ann_topk_brute(emb, k=10).collect()]
+    lsh = ops.ann_topk_lsh(emb, k=10).collect()
+    assert len(lsh) == 10
+    # multi-table (L=10, m=3) measured recall@10 = 0.9 on this
+    # near-isotropic corpus (worst case for angular LSH); floor 0.8
+    assert len(set(brute) & {r["vec_id"] for r in lsh}) / 10 >= 0.8
+    # results deterministic across input partitionings (resume replay)
+    again = ops.ann_topk_lsh(emb.repartition(7), k=10).collect()
+    assert [tuple(r) for r in lsh] == [tuple(r) for r in again]
+
+
+def test_ann_lsh_probes_fewer_rows(spark, emb):
+    """The LSH candidate union must be a strict subset of the table."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from ocr_proofreader_spark.operators import training_ops as ops
+    total = emb.count()
+    tables, bits = 10, 3
+    qv = ops._query_vec(emb, 0)
+    planes = ops._lsh_planes(qv.size, tables * bits)
+    codes_of = ops._srp_codes(planes, tables, bits)
+    w = 1 << np.arange(bits)
+    qbits = (planes @ qv) > 0
+    qcodes = [int((qbits[t * bits:(t + 1) * bits] * w).sum() | (t << bits))
+              for t in range(tables)]
+    cand = (emb.withColumn("codes", codes_of("embedding"))
+            .filter(F.arrays_overlap(
+                "codes", F.array(*[F.lit(c) for c in qcodes])))
+            .count())
+    assert 0 < cand < total
+
+
 def test_ann_ivf_recall_vs_brute(spark, emb):
     from ocr_proofreader_spark.operators import training_ops as ops
     brute = [r["vec_id"] for r in ops.ann_topk_brute(emb, k=10).collect()]
@@ -68,9 +102,10 @@ def test_ann_ivf_probes_fewer_rows(spark, emb):
     from pyspark.sql import functions as F
     from ocr_proofreader_spark.operators import training_ops as ops
     total = emb.count()
-    probe = ops.ivf_probe_cells(emb, query_vec_id=0, n_cells=16, n_probe=4)
+    cents = ops._ivf_centroids(emb, n_cells=16)
+    probe = ops.ivf_probe_cells(ops._query_vec(emb, 0), cents, n_probe=4)
     assert len(probe) == 4
-    cand = (ops.ivf_assign(emb, n_cells=16)
+    cand = (ops.ivf_assign(emb, n_cells=16, centroids=cents)
             .filter(F.col("cell").isin(probe)).count())
     # 4/16 cells; allow 2x slack for uneven cell sizes
     assert 0 < cand <= total // 2
