@@ -108,10 +108,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_proofreader_spark.operators import training_ops as ops
-    from ocr_proofreader_spark.operators.multimodal import (decode_media,
-                                                            media_inventory,
-                                                            resize_media,
-                                                            sample_frames)
+    from ocr_proofreader_spark.operators.multimodal import (
+        decode_media, decode_media_bytes, media_inventory, resize_media,
+        sample_frames, synth_payload)
     from ocr_proofreader_spark.operators.resume import bucket_col
     from ocr_proofreader_spark.sources.interleaved import interleaved_from_flat
 
@@ -267,6 +266,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id", "media_ref", "frame_idx", "t_offset_sec",
                 F.expr(_digest_arr("frame_features"))
                 .alias("frame_features_digest")),
+        # REAL codec path end-to-end: synthesize a deterministic solid
+        # PPM per ref, parse it with the pure-Python codec, band-extract
+        # features — every output value independently recomputed by the
+        # DuckDB twin from the ref's md5
+        "media_decode_real": lambda s, d: decode_media_bytes(
+            synth_payload(media_inventory(interleaved_from_flat(
+                _t(s, d, "documents"))))).select(
+                "doc_id", "media_ref", "page", "width", "height",
+                F.expr(_digest_arr("features")).alias("features_digest"),
+                "error"),
     }
 
 
@@ -670,6 +679,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, round(avg(cos), 3) AS avg_cohesion,
                    count(*) AS n_members
             FROM sim GROUP BY label""",
+        # twin of synth_payload -> codecs.decode_pnm -> band_features: a
+        # solid gray-g (w x h) PPM has every band mean = g, so features
+        # = [float32(g/255)] * 8; dims/g are md5-derived like the stub
+        "media_decode_real": f"""
+            WITH {_MEDIA_CTE},
+            g AS (
+              SELECT doc_id, media_ref, page,
+                     60 + {_md5_byte('media_ref', 0)} % 20 AS width,
+                     80 + {_md5_byte('media_ref', 1)} % 20 AS height,
+                     [CAST(CAST({_md5_byte('media_ref', 2)} AS DOUBLE)
+                           / 255.0 AS FLOAT) for i in range(0, 8)]
+                         AS features
+              FROM media)
+            SELECT doc_id, media_ref, page, width, height,
+                   {_digest_arr_sql('features')} AS features_digest,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM g""",
         "embedding_near_dup": """
             WITH n AS (
               SELECT vec_id, embedding,

@@ -52,8 +52,9 @@ def decode_media(media: DataFrame, feature_dim: int = 8,
         for pdf in batches:
             if not fake_decode:
                 raise NotImplementedError(
-                    "no image codec in this environment; supply a real "
-                    "decoder via mapInPandas against the binary column")
+                    "decode_media(fake_decode=False) has no payload to "
+                    "read; use decode_media_bytes over a binary payload "
+                    "column (real PPM/PGM/BMP codecs) instead")
             rows = []
             for doc_id, ref, page in zip(pdf["doc_id"], pdf["media_ref"],
                                          pdf["page"]):
@@ -70,6 +71,78 @@ def decode_media(media: DataFrame, feature_dim: int = 8,
                 "doc_id", "media_ref", "page", "width", "height",
                 "features"])
     return media.mapInPandas(fn, MEDIA_META)
+
+
+MEDIA_BYTES_META = T.StructType(MEDIA_META.fields + [
+    T.StructField("error", T.StringType(), True),
+])
+
+
+def decode_media_bytes(media: DataFrame, feature_dim: int = 8,
+                       on_error: str = "null") -> DataFrame:
+    """REAL decode stage over a ``payload`` binary column: pure-Python
+    PPM/PGM/BMP codecs (functions/codecs.py) parse pixels and emit the
+    same (width, height, features) schema as :func:`decode_media`, plus
+    an ``error`` column.
+
+    ``on_error='null'`` (default) emits a null-dims row with the codec
+    error message instead of failing the task — at corpus scale corrupt
+    blobs are a certainty and one poison payload must not kill a
+    1000-executor stage; lineage rollups count errors from the column.
+    ``on_error='fail'`` raises (for tests / strict backfills)."""
+    from ocr_proofreader_spark.functions.codecs import (CodecError,
+                                                        band_features,
+                                                        sniff_and_decode)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, page, payload in zip(
+                    pdf["doc_id"], pdf["media_ref"], pdf["page"],
+                    pdf["payload"]):
+                try:
+                    px = sniff_and_decode(
+                        bytes(payload) if payload is not None else b"")
+                    feats = band_features(px, feature_dim)
+                    rows.append((doc_id, ref, page, px.shape[1],
+                                 px.shape[0], feats.tolist(), None))
+                except CodecError as e:
+                    if on_error == "fail":
+                        raise
+                    rows.append((doc_id, ref, page, None, None, None,
+                                 str(e)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "media_ref", "page", "width", "height",
+                "features", "error"])
+    return (media.select("doc_id", "media_ref", "page", "payload")
+            .mapInPandas(fn, MEDIA_BYTES_META))
+
+
+def synth_payload(media: DataFrame) -> DataFrame:
+    """media + a deterministic binary PPM ``payload`` column: a solid
+    gray image whose dims/level derive from the ref's md5 (width
+    60+b0%20, height 80+b1%20, gray b2).  Stands in for reading real
+    scan bytes in environments without them; because the pixel content
+    is a pure function of the ref, the REAL codec path becomes
+    oracle-checkable end-to-end (encode -> parse -> features)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for ref in pdf["media_ref"]:
+                h = hashlib.md5(ref.encode()).digest()
+                w, ht, g = 60 + h[0] % 20, 80 + h[1] % 20, h[2]
+                payloads.append(b"P6\n%d %d\n255\n" % (w, ht)
+                                + bytes([g]) * (w * ht * 3))
+            out = pdf[["doc_id", "media_ref", "page"]].copy()
+            out["payload"] = payloads
+            yield out
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("page", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+    return media.mapInPandas(fn, schema)
 
 
 RESIZED_META = T.StructType(MEDIA_META.fields + [

@@ -46,6 +46,78 @@ def test_decode_real_path_is_marked(spark, media):
         e.value, Py4JJavaError)
 
 
+def _ppm(w, h, rows):
+    """Binary P6 bytes: rows = list of h lists of w (r,g,b) tuples."""
+    body = bytes(c for row in rows for px in row for c in px)
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + body
+
+
+def _bmp24(w, h, rows):
+    """24-bit bottom-up BI_RGB BMP bytes; rows top-down RGB tuples."""
+    import struct
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for row in reversed(rows):                 # bottom-up storage
+        line = bytes(c for (r, g, b) in row for c in (b, g, r))  # BGR
+        raster += line + b"\x00" * (stride - len(line))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       len(raster), 2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0,
+                       14 + 40)
+    return head + info + raster
+
+
+def test_codecs_pure_python():
+    import numpy as np
+    from ocr_proofreader_spark.functions.codecs import (CodecError,
+                                                        band_features,
+                                                        decode_bmp,
+                                                        decode_pnm,
+                                                        sniff_and_decode)
+    rows = [[(255, 255, 255)] * 3, [(0, 0, 0)] * 3]     # white over black
+    px = decode_pnm(_ppm(3, 2, rows))
+    assert px.shape == (2, 3, 3)
+    assert px[0].min() == 255 and px[1].max() == 0
+    bx = decode_bmp(_bmp24(3, 2, rows))
+    assert (bx == px).all()                              # same image
+    feats = band_features(px, dim=8)
+    assert feats.tolist() == [1.0] * 4 + [0.0] * 4
+    # PGM (single channel) and magic dispatch
+    gray = b"P5\n2 2\n255\n" + bytes([10, 20, 30, 40])
+    gx = sniff_and_decode(gray)
+    assert gx.shape == (2, 2, 1) and gx[1, 1, 0] == 40
+    with pytest.raises(CodecError):
+        sniff_and_decode(b"GIF89a....")
+    with pytest.raises(CodecError):
+        decode_pnm(_ppm(3, 2, rows)[:-5])                # truncated raster
+
+
+def test_decode_media_bytes_real_path(spark):
+    """The REAL decode stage: payload bytes in -> dims + band features
+    out, corrupt payloads isolated to error rows (a poison blob must
+    not kill the stage)."""
+    from ocr_proofreader_spark.operators.multimodal import decode_media_bytes
+    rows = [[(255, 255, 255)] * 3, [(0, 0, 0)] * 3]
+    data = [
+        ("d1", "scan/d1/p0.ppm", 0, bytearray(_ppm(3, 2, rows))),
+        ("d1", "scan/d1/p1.bmp", 1, bytearray(_bmp24(3, 2, rows))),
+        ("d2", "scan/d2/p0.bin", 0, bytearray(b"not an image")),
+        ("d2", "scan/d2/p1.png", 1, None),
+    ]
+    media = spark.createDataFrame(
+        data, "doc_id string, media_ref string, page int, payload binary")
+    out = {r["media_ref"]: r
+           for r in decode_media_bytes(media.repartition(3)).collect()}
+    ok = [out["scan/d1/p0.ppm"], out["scan/d1/p1.bmp"]]
+    assert all(r["width"] == 3 and r["height"] == 2 and r["error"] is None
+               for r in ok)
+    assert all(r["features"] == [1.0] * 4 + [0.0] * 4 for r in ok)
+    bad = [out["scan/d2/p0.bin"], out["scan/d2/p1.png"]]
+    assert all(r["width"] is None and r["error"] for r in bad)
+    with pytest.raises(Exception):
+        decode_media_bytes(media, on_error="fail").collect()
+
+
 def test_resize_geometry(spark, media):
     from pyspark.sql import functions as F
 
