@@ -59,6 +59,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--bench-json", default=None)
     ap.add_argument("--skip-derived", action="store_true",
                     help="skip word_freq/lexicon side tables (bench mode)")
+    ap.add_argument("--lexicon", action="append", default=None,
+                    metavar="LANG=PATH",
+                    help="per-language dictionary (repeatable; include "
+                         "default=PATH); docs pick theirs via the input's "
+                         "lang column")
     args = ap.parse_args(argv)
 
     spark = build_session("ocr-proofread", master=args.master)
@@ -66,8 +71,17 @@ def main(argv: list[str] | None = None) -> None:
     cfg = RunConfig(run_id=args.run_id, num_buckets=args.num_buckets,
                     rebalance_partitions=int(
                         spark.conf.get("spark.sql.shuffle.partitions")))
-    base = load_base_lexicon(cfg.lexicon_path)
-    lex_bc = broadcast_lexicon(spark, base)
+    if args.lexicon:
+        cfg.lexicon_paths = dict(s.split("=", 1) for s in args.lexicon)
+    if cfg.lexicon_paths:
+        from ocr_proofreader_spark.lexicon import (broadcast_lexicons,
+                                                   load_lexicons)
+        by_lang = load_lexicons(cfg.lexicon_paths)
+        base = by_lang.get("default", frozenset())
+        lex_bc = broadcast_lexicons(spark, by_lang)
+    else:
+        base = load_base_lexicon(cfg.lexicon_path)
+        lex_bc = broadcast_lexicon(spark, base)
 
     docs = spark.read.parquet(args.input)
     t0 = time.time()

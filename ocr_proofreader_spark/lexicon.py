@@ -1,16 +1,18 @@
 """Lexicon loading, broadcasting, and worker-side index caching.
 
-The base dictionary is broadcast ONCE as a frozenset; each Python worker
-builds its (first-letter, length)-bucketed ``LexIndex`` lazily and caches it
-per broadcast id, so the index build cost is paid once per worker, not per
-batch (SURVEY.md S11; BASELINE.json:6 'shipped as broadcast variables so no
-per-row Python executes')."""
+The base dictionary is broadcast ONCE — either a single frozenset or a
+``lang -> frozenset`` map for multilingual corpora; each Python worker
+builds its (first-letter, length)-bucketed ``LexIndex`` lazily and caches
+it per (broadcast id, lang), so the index build cost is paid once per
+worker, not per batch (SURVEY.md S11; BASELINE.json:6 'shipped as
+broadcast variables so no per-row Python executes')."""
 
 from __future__ import annotations
 
 from ocr_proofreader_spark.functions.rules import LexIndex
 
-_INDEX_CACHE: dict[int, LexIndex] = {}
+_INDEX_CACHE: dict[tuple, LexIndex] = {}
+_MAX_CACHED_INDEXES = 8  # a handful of live languages per worker
 
 
 def load_base_lexicon(path: str) -> frozenset:
@@ -32,16 +34,41 @@ def load_base_lexicon(path: str) -> frozenset:
     raise FileNotFoundError(path)
 
 
+def load_lexicons(paths: dict[str, str]) -> dict[str, frozenset]:
+    """lang -> dictionary map; include a ``'default'`` entry for docs
+    whose lang has no dedicated dictionary."""
+    return {lang: load_base_lexicon(p) for lang, p in paths.items()}
+
+
 def broadcast_lexicon(spark, base: frozenset):
     return spark.sparkContext.broadcast(base)
 
 
-def get_index(bc) -> LexIndex:
-    """Worker-side: LexIndex for a broadcast base lexicon, cached."""
-    key = id(bc.value)
+def broadcast_lexicons(spark, by_lang: dict[str, frozenset]):
+    """Broadcast a lang->lexicon map; proofread selects per doc via the
+    input's ``lang`` column."""
+    return spark.sparkContext.broadcast(dict(by_lang))
+
+
+def get_index(bc, lang: str | None = None) -> LexIndex:
+    """Worker-side: LexIndex for a broadcast lexicon, cached per
+    (broadcast, lang).  The broadcast value is either one frozenset
+    (single-language runs — ``lang`` is ignored) or a lang->frozenset
+    map, resolved via ``lang`` with ``'default'`` as the fallback."""
+    val = bc.value
+    if isinstance(val, dict):
+        use = lang if lang in val else "default"
+        base = val.get(use)
+        if base is None:
+            raise KeyError(
+                f"no lexicon for lang {lang!r} and no 'default' entry")
+        key = (id(val), use)
+    else:
+        base, key = val, (id(val), None)
     idx = _INDEX_CACHE.get(key)
     if idx is None:
-        idx = LexIndex(bc.value)
-        _INDEX_CACHE.clear()  # one live lexicon per worker is the norm
+        if len(_INDEX_CACHE) >= _MAX_CACHED_INDEXES:
+            _INDEX_CACHE.clear()
+        idx = LexIndex(base)
         _INDEX_CACHE[key] = idx
     return idx

@@ -52,10 +52,15 @@ def _out_pdf(rows: list) -> pd.DataFrame:
 
 def _make_fast_fn(lex_bc, freq_k: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        idx = lexmod.get_index(lex_bc)
         for pdf in batches:
+            langs = pdf["lang"] if "lang" in pdf.columns else None
             rows = []
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            for i, (doc_id, spans) in enumerate(zip(pdf["doc_id"],
+                                                    pdf["spans"])):
+                # per-doc lexicon select: a cached-index dict probe, so
+                # multilingual batches cost the same as monolingual ones
+                idx = lexmod.get_index(
+                    lex_bc, langs.iloc[i] if langs is not None else None)
                 pr = DocProofreader(idx, freq_k=freq_k)
                 out, n_in = pr.run(spans)
                 rows.append((doc_id,
@@ -82,7 +87,9 @@ def rebalance(docs: DataFrame, cfg: RunConfig) -> DataFrame:
 
 def proofread_fast(docs: DataFrame, lex_bc, cfg: RunConfig) -> DataFrame:
     """Shuffle-free path: one Arrow-vectorized pass per document."""
-    return (rebalance(docs.select("doc_id", "spans"), cfg)
+    cols = ["doc_id", "spans"] + (["lang"] if "lang" in docs.columns
+                                  else [])
+    return (rebalance(docs.select(*cols), cfg)
             .mapInPandas(_make_fast_fn(lex_bc, cfg.freq_k),
                          DOCUMENTS_OUT_METRICS))
 
@@ -104,7 +111,6 @@ def tokens_udf():
 def _make_correct_fn(lex_bc, freq_k: int):
     """Span-local correction (R1-R4) with an injected per-doc freq map."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        idx = lexmod.get_index(lex_bc)
         readers: dict[str, DocProofreader] = {}
         for pdf in batches:
             out_rows = []
@@ -117,6 +123,8 @@ def _make_correct_fn(lex_bc, freq_k: int):
                 if pr is None:
                     freq = dict(zip(row.freq_words, row.freq_counts)) \
                         if row.freq_words is not None else {}
+                    idx = lexmod.get_index(lex_bc,
+                                           getattr(row, "lang", None))
                     pr = DocProofreader(idx, freq_k=freq_k, freq=freq)
                     readers[row.doc_id] = pr
                 c0, f0 = pr.corrections, pr.flagged
@@ -179,9 +187,11 @@ class _SegmentOnly(DocProofreader):
 def proofread_chunked(spark: SparkSession, docs: DataFrame, lex_bc,
                       cfg: RunConfig) -> DataFrame:
     """Skew path for very long books (rule R0 makes this exact)."""
+    lang_cols = ([F.col("lang")] if "lang" in docs.columns else [])
     spans = docs.select(
-        "doc_id", F.posexplode("spans").alias("idx", "span")).select(
-        "doc_id",
+        "doc_id", *lang_cols,
+        F.posexplode("spans").alias("idx", "span")).select(
+        "doc_id", *lang_cols,
         F.col("span.offset").alias("offset"),
         F.col("span.kind").alias("kind"),
         F.col("span.text").alias("text"),
