@@ -56,33 +56,35 @@ def main() -> None:
     proofread(spark, synth.limit(64), cfg, lex_bc).count()
     word_freq(synth.limit(64)).count()
 
+    jobs = [
+        ("proofread_synth",
+         lambda: proofread(spark, synth, cfg, lex_bc).count()),
+        ("word_freq_agg", lambda: word_freq(synth).count()),
+        ("proofread_flat",
+         lambda: entrymod.queries()["proofread_spans"](spark, SF_DIR)
+         .count()),
+        ("dedup_exact", lambda: ops.dedup_exact(flat).count()),
+        ("dedup_minhash", lambda: ops.minhash_candidates(flat).count()),
+        ("simhash", lambda: ops.simhash(flat).count()),
+        ("ann_topk", lambda: ops.ann_topk_brute(emb).count()),
+    ]
+    # best-of-N with the repeat passes INTERLEAVED across queries
+    # (A B C.. A B C..): this host's wall clock swings ~2-5x under
+    # external noise (BENCH/BASELINE.md), and interleaving keeps one
+    # noise burst from hitting every repeat of the same query
     timings: dict[str, float] = {}
-
-    def timed(name, thunk, repeats=2):
-        # best-of-N: this host's wall clock swings ~2x under external
-        # noise (BENCH/BASELINE.md); the min is the reproducible number
-        best, out = None, None
-        for _ in range(repeats):
+    outs: dict[str, int] = {}
+    for _ in range(2):
+        for name, thunk in jobs:
             t0 = time.time()
-            out = thunk()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        return out
-
-    n_out = timed("proofread_synth",
-                  lambda: proofread(spark, synth, cfg, lex_bc).count())
-    timed("word_freq_agg", lambda: word_freq(synth).count())
-    timed("proofread_flat",
-          lambda: entrymod.queries()["proofread_spans"](spark, SF_DIR)
-          .count())
-    timed("dedup_exact", lambda: ops.dedup_exact(flat).count())
-    timed("dedup_minhash", lambda: ops.minhash_candidates(flat).count())
-    timed("simhash", lambda: ops.simhash(flat).count())
-    timed("ann_topk", lambda: ops.ann_topk_brute(emb).count())
+            outs[name] = thunk()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    n_out = outs["proofread_synth"]
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    result = {
         "metric": "headline_queries_wall",
         "value": total,
         "unit": "sec",
@@ -92,8 +94,32 @@ def main() -> None:
         "synth_docs_out": n_out,
         "docs_per_sec": round(n_docs / timings["proofread_synth"], 1),
         "cpus": CPUS,
-    }))
+    }
+    prev = _prev_round_queries()
+    if prev:
+        # per-query delta vs the latest recorded round so regressions are
+        # visible per query, not only in the headline wall (VERDICT r01)
+        result["delta_vs_prev"] = {
+            q: round(t - prev[q], 3) for q, t in timings.items()
+            if q in prev}
+    print(json.dumps(result))
     spark.stop()
+
+
+def _prev_round_queries() -> dict[str, float]:
+    """Per-query timings from the newest BENCH_r*.json, if any."""
+    import glob
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    if not paths:
+        return {}
+    try:
+        with open(paths[-1]) as fh:
+            return json.load(fh).get("queries", {}) or {}
+    except (OSError, ValueError):
+        return {}
 
 
 if __name__ == "__main__":
