@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": lambda s, d: ops.simhash(_t(s, d, "documents")),
         "ngram_jaccard": lambda s, d: ops.ngram_jaccard(
             _t(s, d, "documents")),
+        "dedup_clusters": lambda s, d: ops.dedup_clusters(
+            _t(s, d, "documents")),
         # similarity search
         "embedding_norms": lambda s, d: ops.embedding_norms(
             _t(s, d, "embeddings")),
@@ -553,6 +555,40 @@ def oracle_sql() -> dict[str, str]:
             FROM capped a JOIN capped b
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
             GROUP BY 1, 2""",
+        # twin of training_ops.dedup_clusters: same capped LSH candidate
+        # pairs, then connected components as a recursive reachability
+        # closure (min reachable id = component representative) — the
+        # engine's iterative min-label propagation must converge to
+        # exactly this fixpoint
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            sig AS (
+              SELECT doc_id, band, min(md5(shingle || '|' || band)) AS sig
+              FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands
+              GROUP BY doc_id, band),
+            capped AS (
+              SELECT * FROM (
+                SELECT doc_id, band, sig,
+                       count(*) OVER (PARTITION BY band, sig) AS _n
+                FROM sig)
+              WHERE _n <= 64),
+            cand AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2
+              FROM capped a JOIN capped b
+                ON a.band = b.band AND a.sig = b.sig
+                   AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            edges AS (SELECT d1 AS s, d2 AS t FROM cand
+                      UNION ALL
+                      SELECT d2 AS s, d1 AS t FROM cand),
+            reach AS (
+              SELECT doc_id AS node, doc_id AS root FROM documents
+              UNION
+              SELECT e.t AS node, r.root
+              FROM reach r JOIN edges e ON e.s = r.node)
+            SELECT node AS doc_id, min(root) AS cluster,
+                   node = min(root) AS is_keeper
+            FROM reach GROUP BY node""",
         "simhash": f"""
             WITH words AS (SELECT doc_id, unnest({_TOKS}) AS word
                            FROM documents),

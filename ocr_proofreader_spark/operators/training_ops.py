@@ -175,6 +175,61 @@ def ngram_jaccard(docs: DataFrame, max_doc_id: int = 100,
                             3).alias("jaccard")))
 
 
+def dedup_clusters(docs: DataFrame, bands: int = 4,
+                   max_bucket: int = 64, max_iter: int = 40) -> DataFrame:
+    """Duplicate CLUSTERS from the LSH candidate pairs: connected
+    components by iterative min-label propagation; ``cluster`` = the
+    smallest doc_id in each component, ``is_keeper`` = the one row per
+    cluster a dedup pass keeps.
+
+    Each iteration is a neighbor-min step (join + partial/final
+    min-aggregate) followed by one POINTER-JUMPING step (adopt your
+    label's label — labels are node ids, so the join is label = node);
+    the jump compounds across rounds, so convergence is O(log diameter)
+    rounds, not O(diameter).  That matters: LSH candidate graphs over
+    near-duplicate corpora form LONG CHAINS (A~B~C... without A~C), and
+    the sf0.01 fixture's giant component needs 16 jumped rounds where
+    plain propagation needs its full ~300-hop diameter.  ``max_iter``
+    40 covers diameters past 2^30 — a backstop, not a tuning knob; the
+    loop exits on the first converged round (the fixpoint is exactly
+    the per-component min, which the recursive-CTE DuckDB twin
+    recomputes independently).  Per-round ``localCheckpoint`` truncates
+    the growing lineage so the plan stays O(1) per iteration at any
+    scale.  Deterministic (min-label is order-independent), like every
+    op the resume protocol replays."""
+    pairs = minhash_candidates(docs, bands, max_bucket)
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+    edges = edges.localCheckpoint(eager=True)
+    labels = docs.select(F.col("doc_id").alias("node"),
+                         F.col("doc_id").alias("label"))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges.d2 == labels.node)
+               .groupBy("d1").agg(F.min("label").alias("nbr_label")))
+        stepped = (labels.join(nbr, labels.node == nbr.d1, "left")
+                   .select(labels.node,
+                           F.least(labels.label,
+                                   F.coalesce(nbr.nbr_label, labels.label))
+                           .alias("label")))
+        lab2 = stepped.select(F.col("node").alias("lnode"),
+                              F.col("label").alias("llabel"))
+        new_labels = (stepped.join(lab2, stepped.label == lab2.lnode)
+                      .select(stepped.node,
+                              F.least(stepped.label, F.col("llabel"))
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster"),
+                         (F.col("node") == F.col("label"))
+                         .alias("is_keeper"))
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 

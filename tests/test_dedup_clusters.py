@@ -1,0 +1,65 @@
+"""dedup_clusters: connected components over LSH candidate pairs must
+equal an independent driver-side union-find on the same pairs, stay
+deterministic across partitionings, and mark exactly one keeper per
+cluster."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SF),
+                                reason="driver testdata missing")
+
+
+def _union_find(nodes, pairs):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF, "documents.parquet"))
+
+
+def test_clusters_match_union_find(spark, docs):
+    from ocr_proofreader_spark.operators import training_ops as ops
+    pairs = [(r["d1"], r["d2"])
+             for r in ops.minhash_candidates(docs).collect()]
+    nodes = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    # union-find roots are component MINIMA because unions always hang
+    # the larger root under the smaller — the operator's fixpoint spec
+    expected = _union_find(nodes, pairs)
+    got = {r["doc_id"]: r["cluster"]
+           for r in ops.dedup_clusters(docs).collect()}
+    assert got == expected
+
+
+def test_clusters_keeper_and_determinism(spark, docs):
+    from ocr_proofreader_spark.operators import training_ops as ops
+    out = ops.dedup_clusters(docs).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cluster, rows in by_cluster.items():
+        keepers = [r for r in rows if r["is_keeper"]]
+        assert len(keepers) == 1
+        assert keepers[0]["doc_id"] == cluster == min(r["doc_id"]
+                                                      for r in rows)
+    again = ops.dedup_clusters(docs.repartition(7)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
