@@ -52,9 +52,11 @@ def _corpus_lexicon(spark: SparkSession, flat: DataFrame,
     from ocr_proofreader_spark.config import RunConfig
     from ocr_proofreader_spark.lexicon import load_base_lexicon
     base = load_base_lexicon(RunConfig().lexicon_path)
+    # non-space runs == split-on-space minus empties; the positive-class
+    # regexp scan measured ~8x cheaper than split+filter (round-1 bench)
     frequent = (flat
                 .select(F.explode(F.expr(
-                    "filter(split(lower(text), ' '), w -> w <> '')"))
+                    'regexp_extract_all(lower(text), "[^ ]+", 0)'))
                     .alias("w"))
                 .groupBy("w").count()
                 .filter(F.col("count") >= min_freq)
@@ -114,17 +116,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_proofreader_spark.operators.resume import bucket_col
     from ocr_proofreader_spark.sources.interleaved import interleaved_from_flat
 
+    # non-space runs == split-on-space minus empties (cheaper scan; the
+    # DuckDB twins keep the list_filter(string_split(...)) spelling and
+    # hash-match because the outputs are identical)
+    toks = 'regexp_extract_all(text, "[^ ]+", 0)'
+
     def doc_word_freq(spark, sf):
         return (_t(spark, sf, "documents")
-                .select("doc_id", F.explode(F.expr(
-                    "filter(split(text, ' '), w -> w <> '')")).alias("word"))
+                .select("doc_id", F.explode(F.expr(toks)).alias("word"))
                 .groupBy("doc_id", "word")
                 .agg(F.count("*").alias("freq")))
 
     def lexicon_frequent(spark, sf):
         return (_t(spark, sf, "documents")
-                .select(F.explode(F.expr(
-                    "filter(split(text, ' '), w -> w <> '')")).alias("word"))
+                .select(F.explode(F.expr(toks)).alias("word"))
                 .groupBy("word").agg(F.count("*").alias("freq"))
                 .filter(F.col("freq") >= 100))
 
