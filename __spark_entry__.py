@@ -4,9 +4,13 @@
 ``queries()`` exposes the engine's operators over the driver testdata;
 ``oracle_sql()`` gives DuckDB twins for every SQL-expressible query
 (hashes are md5-based so both engines agree bit-for-bit; floats are
-rounded AFTER ranking).  Non-SQL entries (the proofreading pipeline
-itself, LSH ANN, multimodal plumbing) get the driver's rows-only check
-plus the pytest oracle-parity suite (SURVEY.md section 5)."""
+rounded AFTER ranking; array<float> outputs are projected to scalar
+digests because the driver canonicalizer cannot hash list cells).
+Non-SQL entries (the proofreading pipeline itself, LSH/IVF internals)
+get the driver's rows-only check plus the pytest oracle-parity suite
+(SURVEY.md section 5) — and the approximate-search paths additionally
+carry driver-checked quality gates (ann_recall_*, near_dup_lsh_quality)
+whose ground-truth columns the DuckDB twin recomputes independently."""
 
 from __future__ import annotations
 
