@@ -35,6 +35,10 @@ LIG_TRANSLATE = str.maketrans({
 LIG_CHARS = "ﬁﬂﬀﬃﬄſ"
 COND_LIG_TRANSLATE = str.maketrans({"Æ": "Ae", "æ": "ae", "Œ": "Oe", "œ": "oe"})
 COND_LIG_CHARS = "Ææ Œœ".replace(" ", "")
+# C-speed presence scans — the equivalent any(c in ... for c in s)
+# generator was ~25% of the whole rule chain's wall in profiling
+LIG_RE = re.compile(f"[{LIG_CHARS}]")
+COND_LIG_RE = re.compile(f"[{COND_LIG_CHARS}]")
 
 HEADING_RE = re.compile(r"^(CHAPTER|CHAPITRE|BOOK|PART)\b[A-Z0-9 .IVXLC-]*$")
 
@@ -290,7 +294,7 @@ class DocProofreader:
     def _correct_token_uncached(self, tok: str) -> tuple[str, int, int]:
         if self.known(tok):
             return tok, 0, 0
-        if any(c in COND_LIG_CHARS for c in tok):
+        if COND_LIG_RE.search(tok):
             mapped = tok.translate(COND_LIG_TRANSLATE)
             if self.known(mapped):
                 return mapped, 1, 0
@@ -312,17 +316,26 @@ class DocProofreader:
     # -- per-line R3a + token pass --------------------------------------------
 
     def correct_line(self, line: str) -> str:
-        if any(c in LIG_CHARS for c in line):
+        if LIG_RE.search(line):
             mapped = line.translate(LIG_TRANSLATE)
             if mapped != line:
                 self.corrections += 1
             line = mapped
-        # fast path: every token known (single pass, no rebuild)
+        # fast path: every token known (single pass, no rebuild);
+        # memo probe inlined — correct_token's call overhead is
+        # measurable at ~400k tokens/batch
         parts = None
         pos = 0
+        memo = self._memo
         for mt in TOKEN_RE.finditer(line):
             tok = mt.group(0)
-            fixed = self.correct_token(tok)
+            hit = memo.get(tok)
+            if hit is not None:
+                fixed, dc, df = hit
+                self.corrections += dc
+                self.flagged += df
+            else:
+                fixed = self.correct_token(tok)
             if parts is None and fixed == tok:
                 continue
             if parts is None:
