@@ -164,12 +164,13 @@ class DocProofreader:
                 and ALPHA_RE.match(w) is not None)
 
     def count_freq(self, spans) -> None:
-        freq = self.freq
+        # Counter.update loops in C; same counts as the per-token dict
+        from collections import Counter
+        freq = Counter(self.freq)
         for sp in spans:
             if sp["kind"] == "text" and sp["text"]:
-                for tok in TOKEN_RE.findall(sp["text"]):
-                    w = tok.lower()
-                    freq[w] = freq.get(w, 0) + 1
+                freq.update(t.lower() for t in TOKEN_RE.findall(sp["text"]))
+        self.freq = freq
 
     def _frequent_candidates(self, first: str, length: int):
         """Book-frequent words (freq >= K, alphabetic) in the R4 bucket."""
