@@ -208,6 +208,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": lambda s, d: ops.lang_guess(_t(s, d, "documents")),
         "doc_fingerprint": lambda s, d: ops.doc_fingerprint(
             _t(s, d, "documents")),
+        "doc_fingerprint_rolling": lambda s, d: ops.doc_fingerprint_rolling(
+            _t(s, d, "documents")),
+        "quality_metrics": lambda s, d: ops.quality_metrics(
+            _t(s, d, "documents")),
+        "tfidf_top_terms": lambda s, d: ops.tfidf_top_terms(
+            _t(s, d, "documents")),
         # deduplication
         "dedup_exact": lambda s, d: ops.dedup_exact(_t(s, d, "documents")),
         "minhash_signatures": lambda s, d: ops.minhash_signatures(
@@ -506,6 +512,25 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment""",
+        # twin of training_ops.tfidf_top_terms: rank on integers (tf
+        # desc, word), report the rounded float idf score after ranking
+        "tfidf_top_terms": f"""
+            WITH tf AS (
+              SELECT doc_id, word, count(*) AS tf
+              FROM (SELECT doc_id, unnest({_TOKS}) AS word FROM documents)
+              GROUP BY doc_id, word),
+            dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            ranked AS (
+              SELECT doc_id, word, tf,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tf DESC, word) AS rk
+              FROM tf)
+            SELECT r.doc_id, r.word, r.tf, d.df, r.rk,
+                   round(r.tf * ln(CAST(n_docs AS DOUBLE) / d.df), 4)
+                       AS tfidf
+            FROM ranked r JOIN dfreq d USING (word) CROSS JOIN n
+            WHERE r.rk <= 3""",
         # twin of operators/resume.py::bucket_col — the resume protocol's
         # replay unit; md5-derived (first 60 bits) precisely so an engine
         # other than Spark can recompute the assignment bit-for-bit
@@ -538,6 +563,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                        AS fingerprint
+            FROM documents""",
+        # twin of training_ops.doc_fingerprint_rolling: identical fold
+        # (list_reduce has no explicit seed, so a 0 is prepended)
+        "doc_fingerprint_rolling": f"""
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       [CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)
+                        for t in {_TOKS}]),
+                     (acc, x) -> (acc * 1000003 + x) % 2147483647)
+                       AS rolling_hash
+            FROM documents""",
+        "quality_metrics": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                        AS BIGINT) AS n_punct,
+                   CAST(len(list_filter({_TOKS},
+                        w -> lower(w) IN ('the','a','of','and','in','to',
+                                          'is'))) AS BIGINT) AS n_stopwords
             FROM documents""",
         "dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS keeper,

@@ -68,6 +68,66 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
+def doc_fingerprint_rolling(docs: DataFrame) -> DataFrame:
+    """True polynomial rolling hash over the token stream, folded
+    JVM-side with ``aggregate``: acc = (acc*1000003 + h(tok)) mod
+    (2^31-1), h = first 32 md5 bits.  Order-sensitive (unlike the md5
+    stand-in above, it distinguishes permuted documents), overflow-free
+    in int64 (acc*B < 2^51), and engine-portable — the DuckDB twin folds
+    the identical recurrence with list_reduce."""
+    fold = (f"aggregate({TOKENS}, 0L, (acc, t) -> "
+            f"(acc * 1000003L + cast(conv(substr(md5(t), 1, 8), 16, 10)"
+            f" as bigint)) % 2147483647L)")
+    return docs.select("doc_id", F.expr(fold).alias("rolling_hash"))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per doc by tf-idf.
+
+    Ranking is on INTEGERS (tf desc, then word) so ties are
+    engine-portable; the float idf score is computed after ranking and
+    only reported (rounded), never compared — ln() differs by ulps
+    across libms and must not decide order.  Plan: one (doc, word)
+    hash agg; df derived from it by a second agg (no rescan); corpus
+    size broadcast-joined; row_number window for the top-k."""
+    words = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("word"))
+    return (tf.join(df_, "word")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .crossJoin(F.broadcast(n))
+            .select("doc_id", "word", "tf", "df", "rk",
+                    F.round(F.col("tf")
+                            * F.log(F.col("n_docs") / F.col("df")), 4)
+                    .alias("tfidf")))
+
+
+EN_PUNCT_CLASS = "[^.,;:!?]"  # negated: keep only sentence punctuation
+
+
+def quality_metrics(docs: DataFrame,
+                    stopwords: tuple = None) -> DataFrame:
+    """Full quality-signal row per doc: token/char counts, sentence-
+    punctuation count, stopword hits.  Counts (not ratios) on purpose:
+    integer outputs are bit-portable across engines, while ratio
+    rounding can land on half-way ties (k/2^a5^b) where Spark rounds
+    half-up and DuckDB half-even; consumers derive ratios losslessly."""
+    stop = stopwords or EN_STOPWORDS
+    stop_list = ", ".join(f"'{w}'" for w in stop)
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({TOKENS})").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace("text", EN_PUNCT_CLASS, ""))
+        .cast("long").alias("n_punct"),
+        F.expr(f"size(filter({TOKENS}, "
+               f"w -> lower(w) IN ({stop_list})))")
+        .cast("long").alias("n_stopwords"))
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 
