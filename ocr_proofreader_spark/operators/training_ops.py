@@ -88,15 +88,17 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     engine-portable; the float idf score is computed after ranking and
     only reported (rounded), never compared — ln() differs by ulps
     across libms and must not decide order.  Plan: one (doc, word)
-    hash agg; df derived from it by a second agg (no rescan); corpus
-    size broadcast-joined; row_number window for the top-k."""
+    hash agg; df as a window COUNT over it (an agg+join would cost two
+    extra exchanges); corpus size broadcast-joined; row_number window
+    for the top-k — three shuffles total, pinned in test_plans.py."""
     words = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("word"))
-    return (tf.join(df_, "word")
-            .withColumn("rk", F.row_number().over(w))
+    w_df = Window.partitionBy("word")
+    w_rk = Window.partitionBy("doc_id").orderBy(F.desc("tf"),
+                                                F.asc("word"))
+    return (tf.withColumn("df", F.count("*").over(w_df))
+            .withColumn("rk", F.row_number().over(w_rk))
             .filter(F.col("rk") <= k)
             .crossJoin(F.broadcast(n))
             .select("doc_id", "word", "tf", "df", "rk",

@@ -92,6 +92,41 @@ def test_embedding_blocked_ops_avoid_cartesian(spark):
     assert "BroadcastNestedLoopJoin" in exact
 
 
+def test_new_ops_plan_shapes(spark):
+    """Round-2 operators keep plan discipline: the quality/fingerprint
+    scans never shuffle, the multi-table LSH probe is shuffle-free
+    before its top-k, and tfidf's only shuffles are its two aggregates
+    plus the top-k window (corpus size joins as a broadcast)."""
+    import os
+
+    import pytest
+
+    from ocr_proofreader_spark.operators import training_ops as ops
+    src = "/root/testdata/sf0.001"
+    if not os.path.isdir(src):
+        pytest.skip("driver testdata missing")
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+
+    assert P.count_exchanges(ops.quality_metrics(docs)) == 0
+    assert P.count_exchanges(ops.doc_fingerprint_rolling(docs)) == 0
+
+    lsh = ops.ann_topk_lsh(emb)
+    plan = P.physical_plan(lsh)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert P.count_exchanges(lsh) == 0      # probe + rerank, no shuffle
+
+    tfidf = ops.tfidf_top_terms(docs)
+    plan = P.physical_plan(tfidf)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row corpus-size join
+    assert P.has_partial_aggregate(tfidf)
+    # tf agg + df window (by word) + top-k window (by doc), plus the
+    # 1-row SinglePartition gather for the corpus count
+    assert P.count_exchanges(tfidf) == 4
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Co-located bucketed join: two tables bucketed on the same key
     join with ZERO exchanges — the scale answer for repeated
