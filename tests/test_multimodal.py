@@ -92,6 +92,29 @@ def test_codecs_pure_python():
         decode_pnm(_ppm(3, 2, rows)[:-5])                # truncated raster
 
 
+def test_codecs_roundtrip_property():
+    """Any pixel grid survives PPM and BMP encode->decode bit-exactly
+    (hypothesis-generated dims and content)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_proofreader_spark.functions.codecs import decode_bmp, decode_pnm
+
+    @settings(max_examples=40, deadline=None)
+    @given(w=st.integers(1, 9), h=st.integers(1, 9),
+           seed=st.integers(0, 2**31 - 1))
+    def check(w, h, seed):
+        px = (np.random.RandomState(seed)
+              .randint(0, 256, size=(h, w, 3), dtype=np.uint8))
+        rows = [[tuple(int(c) for c in px[y, x]) for x in range(w)]
+                for y in range(h)]
+        assert (decode_pnm(_ppm(w, h, rows)) == px).all()
+        assert (decode_bmp(_bmp24(w, h, rows)) == px).all()
+
+    check()
+
+
 def test_decode_media_bytes_real_path(spark):
     """The REAL decode stage: payload bytes in -> dims + band features
     out, corrupt payloads isolated to error rows (a poison blob must
