@@ -49,7 +49,9 @@ def build_session(app: str, master: str | None = None,
             .getOrCreate())
 
 
-def main(argv: list[str] | None = None) -> None:
+def main(argv: list[str] | None = None, spark=None) -> None:
+    """CLI entry; pass ``spark`` to reuse an existing session (tests) —
+    only a session this function created is stopped on exit."""
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
@@ -66,7 +68,9 @@ def main(argv: list[str] | None = None) -> None:
                          "lang column")
     args = ap.parse_args(argv)
 
-    spark = build_session("ocr-proofread", master=args.master)
+    own_session = spark is None
+    if own_session:
+        spark = build_session("ocr-proofread", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
     cfg = RunConfig(run_id=args.run_id, num_buckets=args.num_buckets,
                     rebalance_partitions=int(
@@ -113,7 +117,8 @@ def main(argv: list[str] | None = None) -> None:
     if args.bench_json:
         with open(args.bench_json, "w") as fh:
             json.dump(result, fh)
-    spark.stop()
+    if own_session:
+        spark.stop()
 
 
 if __name__ == "__main__":
