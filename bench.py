@@ -74,7 +74,7 @@ def main() -> None:
     # noise burst from hitting every repeat of the same query
     timings: dict[str, float] = {}
     outs: dict[str, int] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name, thunk in jobs:
             t0 = time.time()
             outs[name] = thunk()
