@@ -107,18 +107,29 @@ def main() -> None:
 
 
 def _prev_round_queries() -> dict[str, float]:
-    """Per-query timings from the newest BENCH_r*.json, if any."""
+    """Per-query timings from the newest BENCH_r*.json, if any.
+
+    The driver wraps the bench JSON under a 'parsed' key (BENCH_r01.json
+    shape); a raw bench line has 'queries' at the top level — accept
+    both.  Round number is parsed from the BASENAME (a path component
+    like /home/user2/ must not win the sort) and non-conforming names
+    are skipped."""
     import glob
     import re
     here = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
-                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
-    if not paths:
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
         return {}
     try:
-        with open(paths[-1]) as fh:
-            return json.load(fh).get("queries", {}) or {}
-    except (OSError, ValueError):
+        with open(max(rounds)[1]) as fh:
+            d = json.load(fh)
+        return (d.get("queries")
+                or d.get("parsed", {}).get("queries", {}) or {})
+    except (OSError, ValueError, AttributeError):
         return {}
 
 

@@ -54,7 +54,11 @@ def decode_pnm(data: bytes) -> np.ndarray:
         raise CodecError("not a binary PGM/PPM payload")
     channels = 3 if data[:2] == b"P6" else 1
     (w, h, maxval), off = _pnm_tokens(data, 3, 2)
-    width, height, mx = int(w), int(h), int(maxval)
+    try:
+        width, height, mx = int(w), int(h), int(maxval)
+    except ValueError:
+        raise CodecError(
+            f"non-numeric PNM header tokens {w!r} {h!r} {maxval!r}")
     if width <= 0 or height <= 0:
         raise CodecError(f"bad PNM dimensions {width}x{height}")
     if mx != 255:

@@ -76,12 +76,19 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                     rebalance_partitions=int(
                         spark.conf.get("spark.sql.shuffle.partitions")))
     if args.lexicon:
+        bad = [s for s in args.lexicon if "=" not in s]
+        if bad:
+            ap.error(f"--lexicon expects LANG=PATH, got {bad[0]!r}")
         cfg.lexicon_paths = dict(s.split("=", 1) for s in args.lexicon)
     if cfg.lexicon_paths:
+        # fail fast here, not deep in an executor's KeyError: docs whose
+        # lang has no dedicated dictionary fall back to 'default'
+        if "default" not in cfg.lexicon_paths:
+            ap.error("--lexicon map must include a default=PATH entry")
         from ocr_proofreader_spark.lexicon import (broadcast_lexicons,
                                                    load_lexicons)
         by_lang = load_lexicons(cfg.lexicon_paths)
-        base = by_lang.get("default", frozenset())
+        base = by_lang["default"]
         lex_bc = broadcast_lexicons(spark, by_lang)
     else:
         base = load_base_lexicon(cfg.lexicon_path)

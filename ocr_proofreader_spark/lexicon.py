@@ -52,9 +52,17 @@ def broadcast_lexicons(spark, by_lang: dict[str, frozenset]):
 
 def get_index(bc, lang: str | None = None) -> LexIndex:
     """Worker-side: LexIndex for a broadcast lexicon, cached per
-    (broadcast, lang).  The broadcast value is either one frozenset
+    (broadcast id, lang).  The broadcast value is either one frozenset
     (single-language runs — ``lang`` is ignored) or a lang->frozenset
-    map, resolved via ``lang`` with ``'default'`` as the fallback."""
+    map, resolved via ``lang`` with ``'default'`` as the fallback.
+
+    The cache key uses the broadcast's unique spill path (stable for its
+    lifetime, never reused), NOT ``id(bc.value)``: a destroyed
+    broadcast's value can be freed and a later dict allocated at the same
+    address, which would silently serve the previous corpus's
+    dictionary.  Fallback is ``id(bc)`` — the handle is pinned by the
+    calling closure, unlike the value."""
+    bc_id = getattr(bc, "_path", None) or id(bc)
     val = bc.value
     if isinstance(val, dict):
         use = lang if lang in val else "default"
@@ -62,9 +70,9 @@ def get_index(bc, lang: str | None = None) -> LexIndex:
         if base is None:
             raise KeyError(
                 f"no lexicon for lang {lang!r} and no 'default' entry")
-        key = (id(val), use)
+        key = (bc_id, use)
     else:
-        base, key = val, (id(val), None)
+        base, key = val, (bc_id, None)
     idx = _INDEX_CACHE.get(key)
     if idx is None:
         if len(_INDEX_CACHE) >= _MAX_CACHED_INDEXES:

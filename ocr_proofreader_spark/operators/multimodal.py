@@ -106,7 +106,9 @@ def decode_media_bytes(media: DataFrame, feature_dim: int = 8,
                     feats = band_features(px, feature_dim)
                     rows.append((doc_id, ref, page, px.shape[1],
                                  px.shape[0], feats.tolist(), None))
-                except CodecError as e:
+                # ValueError too: any malformed-payload parse error must
+                # isolate to THIS row, never fail the stage
+                except (CodecError, ValueError) as e:
                     if on_error == "fail":
                         raise
                     rows.append((doc_id, ref, page, None, None, None,

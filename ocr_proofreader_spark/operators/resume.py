@@ -32,6 +32,12 @@ from ocr_proofreader_spark.operators.proofread import proofread
 from ocr_proofreader_spark.schemas import LINEAGE
 
 
+# Stamped into every output root so a resume NEVER mixes bucket layouts:
+# docs bucketed under a different hash would be silently skipped or
+# duplicated.  Bump when bucket_col's function changes.
+BUCKET_HASH_VERSION = "md5-60bit-v1"
+
+
 def bucket_col(num_buckets: int):
     """Deterministic doc_id -> bucket (stable across runs/parallelism).
 
@@ -70,6 +76,31 @@ class ResumableRunner:
         self.lineage_dir = os.path.join(out_root, "lineage")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.marker_dir, exist_ok=True)
+        self._check_hash_version()
+
+    def _check_hash_version(self) -> None:
+        """Refuse to resume an output root bucketed under a different
+        doc_id hash — markers from the old layout would silently skip
+        unprocessed docs and duplicate processed ones."""
+        vfile = os.path.join(self.marker_dir, "_HASH_VERSION")
+        if os.path.exists(vfile):
+            with open(vfile) as fh:
+                found = fh.read().strip()
+            if found != BUCKET_HASH_VERSION:
+                raise RuntimeError(
+                    f"output root {self.out_root} was bucketed with hash "
+                    f"{found!r}, engine uses {BUCKET_HASH_VERSION!r}; "
+                    f"finish it with the old engine version or start a "
+                    f"fresh output root")
+        elif self.done_buckets():
+            raise RuntimeError(
+                f"output root {self.out_root} has completed buckets but "
+                f"no _HASH_VERSION stamp (pre-{BUCKET_HASH_VERSION} "
+                f"layout); finish it with the engine version that wrote "
+                f"it or start a fresh output root")
+        else:
+            with open(vfile, "w") as fh:
+                fh.write(BUCKET_HASH_VERSION)
 
     # -- bookkeeping -------------------------------------------------------
 

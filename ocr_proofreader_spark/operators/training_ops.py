@@ -376,6 +376,16 @@ def _srp_codes(planes: np.ndarray, tables: int, bits: int):
     return codes_of
 
 
+def _lsh_query_codes(qv: np.ndarray, planes: np.ndarray,
+                     tables: int, bits: int) -> list[int]:
+    """Driver-side twin of :func:`_srp_codes` for one query vector —
+    the same (float64-promoted) matmul the executors run."""
+    weights = 1 << np.arange(bits)
+    qbits = (planes @ qv) > 0
+    return [int((qbits[t * bits:(t + 1) * bits] * weights).sum()
+                | (t << bits)) for t in range(tables)]
+
+
 def ann_topk_lsh(emb: DataFrame, query_vec_id: int = 0, k: int = 10,
                  tables: int = 10, bits: int = 3) -> DataFrame:
     """Scale path: multi-table sign-random-projection LSH + exact rerank
@@ -401,11 +411,7 @@ def ann_topk_lsh(emb: DataFrame, query_vec_id: int = 0, k: int = 10,
     qv = _query_vec(emb, query_vec_id)
     planes = _lsh_planes(qv.size, tables * bits)
     codes_of = _srp_codes(planes, tables, bits)
-
-    weights = 1 << np.arange(bits)
-    qbits = (planes @ qv) > 0
-    qcodes = [int((qbits[t * bits:(t + 1) * bits] * weights).sum()
-                  | (t << bits)) for t in range(tables)]
+    qcodes = _lsh_query_codes(qv, planes, tables, bits)
     cand = (emb.withColumn("codes", codes_of("embedding"))
             .filter(F.arrays_overlap(
                 "codes", F.array(*[F.lit(c) for c in qcodes]))))
@@ -460,20 +466,9 @@ def embedding_near_dup_lsh(emb: DataFrame, threshold: float = 0.40,
     first = emb.select(F.size("embedding").alias("d")).first()
     dim = int(first["d"])
     planes = _lsh_planes(dim, bands * r)
-    weights = 1 << np.arange(r)
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def band_codes(vs: pd.Series) -> pd.Series:
-        mat = np.stack(vs.to_numpy())
-        bits = (mat @ planes.T) > 0                      # (n, bands*r)
-        out = np.zeros((len(mat), bands), dtype="int32")
-        for bi in range(bands):
-            seg = bits[:, bi * r:(bi + 1) * r]
-            out[:, bi] = (seg * weights).sum(axis=1) | (bi << r)
-        return pd.Series(list(out))
-
+    codes_of = _srp_codes(planes, bands, r)   # same banded-code family
     coded = emb.select("vec_id",
-                       F.explode(band_codes("embedding")).alias("code"))
+                       F.explode(codes_of("embedding")).alias("code"))
     a = coded.select(F.col("vec_id").alias("v1"), "code")
     b = coded.select(F.col("vec_id").alias("v2"), "code")
     cand = (a.join(b, "code")

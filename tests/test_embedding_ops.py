@@ -64,7 +64,6 @@ def test_ann_lsh_recall_vs_brute(spark, emb):
 
 def test_ann_lsh_probes_fewer_rows(spark, emb):
     """The LSH candidate union must be a strict subset of the table."""
-    import numpy as np
     from pyspark.sql import functions as F
     from ocr_proofreader_spark.operators import training_ops as ops
     total = emb.count()
@@ -72,10 +71,7 @@ def test_ann_lsh_probes_fewer_rows(spark, emb):
     qv = ops._query_vec(emb, 0)
     planes = ops._lsh_planes(qv.size, tables * bits)
     codes_of = ops._srp_codes(planes, tables, bits)
-    w = 1 << np.arange(bits)
-    qbits = (planes @ qv) > 0
-    qcodes = [int((qbits[t * bits:(t + 1) * bits] * w).sum() | (t << bits))
-              for t in range(tables)]
+    qcodes = ops._lsh_query_codes(qv, planes, tables, bits)
     cand = (emb.withColumn("codes", codes_of("embedding"))
             .filter(F.arrays_overlap(
                 "codes", F.array(*[F.lit(c) for c in qcodes])))

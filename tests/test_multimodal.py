@@ -126,6 +126,9 @@ def test_decode_media_bytes_real_path(spark):
         ("d1", "scan/d1/p1.bmp", 1, bytearray(_bmp24(3, 2, rows))),
         ("d2", "scan/d2/p0.bin", 0, bytearray(b"not an image")),
         ("d2", "scan/d2/p1.png", 1, None),
+        # right magic, garbled header: must isolate to an error row,
+        # not kill the stage (raised ValueError pre-fix)
+        ("d2", "scan/d2/p2.ppm", 2, bytearray(b"P6\nab cd 255\nxxxxxx")),
     ]
     media = spark.createDataFrame(
         data, "doc_id string, media_ref string, page int, payload binary")
@@ -135,7 +138,8 @@ def test_decode_media_bytes_real_path(spark):
     assert all(r["width"] == 3 and r["height"] == 2 and r["error"] is None
                for r in ok)
     assert all(r["features"] == [1.0] * 4 + [0.0] * 4 for r in ok)
-    bad = [out["scan/d2/p0.bin"], out["scan/d2/p1.png"]]
+    bad = [out["scan/d2/p0.bin"], out["scan/d2/p1.png"],
+           out["scan/d2/p2.ppm"]]
     assert all(r["width"] is None and r["error"] for r in bad)
     with pytest.raises(Exception):
         decode_media_bytes(media, on_error="fail").collect()

@@ -73,3 +73,30 @@ def test_resume_filter_anti_join(spark, corpus_small):
     dropped = (docs.withColumn("b", bucket_col(4))
                .filter(F.col("b").isin([0, 1])).count())
     assert kept.count() == total - dropped
+
+
+def test_hash_version_guard(spark, base_lexicon, tmp_path):
+    """An output root bucketed under a different doc_id hash must refuse
+    to resume (mixing layouts silently skips/duplicates docs)."""
+    from ocr_proofreader_spark.operators.resume import BUCKET_HASH_VERSION
+    cfg = RunConfig(run_id="r1", num_buckets=4)
+    lex_bc = broadcast_lexicon(spark, base_lexicon)
+    out_root = str(tmp_path / "out")
+
+    r1 = ResumableRunner(spark, out_root, cfg, lex_bc)
+    vfile = os.path.join(r1.marker_dir, "_HASH_VERSION")
+    with open(vfile) as fh:
+        assert fh.read() == BUCKET_HASH_VERSION   # stamped on first init
+    ResumableRunner(spark, out_root, cfg, lex_bc)  # same version: fine
+
+    with open(vfile, "w") as fh:
+        fh.write("xxhash64-v0")
+    with pytest.raises(RuntimeError, match="bucketed with hash"):
+        ResumableRunner(spark, out_root, cfg, lex_bc)
+
+    # pre-stamp layout: markers exist but no version file
+    os.remove(vfile)
+    with open(os.path.join(r1.marker_dir, "0.done"), "w") as fh:
+        fh.write("r0")
+    with pytest.raises(RuntimeError, match="no _HASH_VERSION"):
+        ResumableRunner(spark, out_root, cfg, lex_bc)
