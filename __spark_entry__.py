@@ -103,6 +103,16 @@ def _windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def _dedup_stream_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicates on content hash) over the
+    documents table via Trigger.AvailableNow; the deterministic
+    projection is the distinct hash set — the SQL twin below."""
+    from ocr_proofreader_spark.streaming.dedup_stream import \
+        dedup_stream_hashes
+    return dedup_stream_hashes(
+        spark, os.path.join(sf_dir, "documents.parquet"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _proofread_docs(spark, "/root/testdata/sf0.001")
@@ -193,6 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "orders"), _t(s, d, "customer")),
         "sessionize_stream_closed": _sessionize_stream_closed,
         "windowed_counts_stream": _windowed_counts_stream,
+        "dedup_stream_hashes": _dedup_stream_hashes,
         # engine-shaped relational ops (SURVEY.md section 2.5)
         "doc_word_freq": doc_word_freq,
         "lexicon_frequent": lexicon_frequent,
@@ -485,6 +496,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM roll
             WHERE session_no < (SELECT max(session_no) FROM roll r2
                                 WHERE r2.user_id = roll.user_id)""",
+        "dedup_stream_hashes": """
+            SELECT DISTINCT md5(text) AS content_hash FROM documents""",
         "doc_word_freq": f"""
             SELECT doc_id, word, count(*) AS freq
             FROM (SELECT doc_id, unnest({_TOKS}) AS word FROM documents)

@@ -154,3 +154,31 @@ def test_windowed_stream_drops_late_events(spark, tmp_path):
          for r in batch.collect()
          if r["window_start"] + 3600 <= mx - 1800}
     assert g == b          # late event contributed to nothing
+
+
+def test_dedup_stream_suppresses_across_microbatches(spark, tmp_path):
+    """Streaming exact dedup: duplicates arriving in LATER micro-batches
+    are suppressed by state carried across batches, and the emitted hash
+    set equals the batch distinct set."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ocr_proofreader_spark.streaming.dedup_stream import \
+        dedup_stream_hashes
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(src):
+        pytest.skip("driver testdata missing")
+    base = spark.read.parquet(src)
+    docs = base.unionByName(base.limit(100))   # inject exact duplicates
+    multi = str(tmp_path / "docs_multi")
+    docs.repartition(4).write.parquet(multi)   # dups spread across files
+
+    out = dedup_stream_hashes(spark, multi, max_files_per_trigger=1)
+    got = sorted(r["content_hash"] for r in out.collect())
+    expected = sorted(r["h"] for r in docs.select(
+        F.md5("text").alias("h")).distinct().collect())
+    assert got == expected                     # set equality AND no dup
+    assert len(got) < docs.count()             # input really had dups
