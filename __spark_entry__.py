@@ -239,6 +239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "embedding_norms": lambda s, d: ops.embedding_norms(
             _t(s, d, "embeddings")),
+        "embedding_project": lambda s, d: ops.embedding_project(
+            _t(s, d, "embeddings")),
         "cosine_all": lambda s, d: ops.cosine_to_query(
             _t(s, d, "embeddings")),
         "ann_topk": lambda s, d: ops.ann_topk_brute(_t(s, d, "embeddings")),
@@ -690,6 +692,22 @@ def oracle_sql() -> dict[str, str]:
             FROM common
             JOIN sizes s1 ON s1.doc_id = d1
             JOIN sizes s2 ON s2.doc_id = d2""",
+        # twin of training_ops.embedding_project: the projection matrix
+        # is md5-derived (not RNG-seeded) precisely so DuckDB regenerates
+        # it; fold order differs by ulps, the 4dp round absorbs it
+        "embedding_project": """
+            SELECT vec_id, j AS dim, round(val, 4) AS value
+            FROM (SELECT vec_id,
+                         unnest(range(0, 16)) AS j,
+                         unnest([list_sum(
+                            [CAST(embedding[i] AS DOUBLE)
+                             * ((CAST('0x' || substr(md5(
+                                   CAST(i-1 AS VARCHAR) || '|'
+                                   || CAST(j2 AS VARCHAR)), 1, 2)
+                                 AS INTEGER) - 127.5) / 127.5)
+                             for i in range(1, len(embedding)+1)])
+                            for j2 in range(0, 16)]) AS val
+                  FROM embeddings)""",
         "embedding_norms": """
             SELECT vec_id,
                    round(sqrt(list_sum([CAST(x AS DOUBLE) * x

@@ -608,6 +608,32 @@ def near_dup_lsh_quality(emb: DataFrame,
                     .alias("recall_floor_met")))
 
 
+def embedding_project(emb: DataFrame, out_dim: int = 16) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson-Lindenstrauss
+    style): one Arrow matmul pass against a SEEDLESS md5-derived matrix
+    P[i][j] = (md5("i|j")[0] - 127.5) / 127.5 — a hash-defined matrix
+    both engines can regenerate, so unlike RNG-seeded planes the whole
+    reduction is DuckDB-oracle-checkable.  Output exploded to
+    (vec_id, dim, value) rows; value rounded AFTER the fold (sum order
+    differs across engines by ulps; 4dp absorbs it)."""
+    import hashlib
+    dim_row = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(dim_row["d"])
+    P = np.array([[(hashlib.md5(f"{i}|{j}".encode()).digest()[0]
+                    - 127.5) / 127.5
+                   for j in range(out_dim)] for i in range(dim)])
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def proj(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        return pd.Series(list(mat @ P))
+
+    return (emb.select("vec_id",
+                       F.posexplode(proj("embedding"))
+                       .alias("dim", "value"))
+            .select("vec_id", "dim", F.round("value", 4).alias("value")))
+
+
 def embedding_norms(emb: DataFrame) -> DataFrame:
     return emb.select(
         "vec_id", F.round(F.expr(_norm_expr("embedding")), 3).alias("l2"))
