@@ -226,6 +226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": lambda s, d: ops.tfidf_top_terms(
             _t(s, d, "documents")),
         # deduplication
+        "normalize_text": lambda s, d: ops.normalize_text(
+            _t(s, d, "documents")),
         "dedup_exact": lambda s, d: ops.dedup_exact(_t(s, d, "documents")),
         "minhash_signatures": lambda s, d: ops.minhash_signatures(
             _t(s, d, "documents")),
@@ -599,6 +601,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter({_TOKS},
                         w -> lower(w) IN ('the','a','of','and','in','to',
                                           'is'))) AS BIGINT) AS n_stopwords
+            FROM documents""",
+        # twin of training_ops.normalize_text: DuckDB's nfc_normalize
+        # implements the same Unicode NFC algorithm as Python's
+        # unicodedata (verified on composed/decomposed accent fixtures)
+        "normalize_text": """
+            SELECT doc_id, md5(nfc_normalize(text)) AS nfc_hash
             FROM documents""",
         "dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS keeper,

@@ -134,6 +134,22 @@ def quality_metrics(docs: DataFrame,
 # deduplication
 
 
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Unicode NFC normalization (the standard dedup preprocessing step:
+    composed vs decomposed accents must not defeat exact/hash dedup).
+    Spark has no NFC built-in, so this is one Arrow-batched scalar UDF;
+    the contract output is the normalized text's md5 so the DuckDB twin
+    (``nfc_normalize``) hash-checks the whole transform."""
+    import unicodedata
+
+    @F.pandas_udf(T.StringType())
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: unicodedata.normalize("NFC", t)
+                     if t is not None else None)
+
+    return docs.select("doc_id", F.md5(nfc("text")).alias("nfc_hash"))
+
+
 def dedup_exact(docs: DataFrame) -> DataFrame:
     """Exact dedup by content hash: keeper = min doc_id per hash."""
     return (docs
