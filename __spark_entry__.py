@@ -124,6 +124,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_proofreader_spark.operators import training_ops as ops
+    from ocr_proofreader_spark.operators.extraction import (
+        extract_main_html, synth_html)
     from ocr_proofreader_spark.operators.multimodal import (
         decode_media, decode_media_bytes, media_inventory, resize_media,
         sample_frames, synth_payload)
@@ -225,6 +227,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")),
         "tfidf_top_terms": lambda s, d: ops.tfidf_top_terms(
             _t(s, d, "documents")),
+        # main-content extraction (north_rule: HTML boilerplate strip)
+        "html_main_content": lambda s, d: extract_main_html(
+            synth_html(_t(s, d, "documents")))
+            .select("doc_id", F.md5("main_text").alias("main_digest")),
         # deduplication
         "normalize_text": lambda s, d: ops.normalize_text(
             _t(s, d, "documents")),
@@ -382,6 +388,11 @@ _ANN_RECALL_ORACLE = """
                                ',')) AS brute_topk_digest,
            true AS recall_floor_met
     FROM brute"""
+
+
+from ocr_proofreader_spark.operators.extraction import extract_main_sql
+
+_HTML_MAIN_ORACLE = extract_main_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -602,6 +613,10 @@ def oracle_sql() -> dict[str, str]:
                         w -> lower(w) IN ('the','a','of','and','in','to',
                                           'is'))) AS BIGINT) AS n_stopwords
             FROM documents""",
+        # twin of extraction.synth_html + extract_main_html: the full
+        # synthesize -> tag-strip -> density-filter pipeline recomputed
+        # in SQL (see operators/extraction.py::extract_main_sql)
+        "html_main_content": _HTML_MAIN_ORACLE,
         # twin of training_ops.normalize_text: DuckDB's nfc_normalize
         # implements the same Unicode NFC algorithm as Python's
         # unicodedata (verified on composed/decomposed accent fixtures)

@@ -1,0 +1,90 @@
+"""Main-content extraction for markup documents (north_rule: "HTML
+boilerplate strip, ... DOM heuristics").
+
+The classic line-wise TEXT-DENSITY heuristic (Arc90/boilerpipe family):
+a line belongs to the main content iff its tag-stripped text is long
+enough AND dominates the raw line (density >= 1/2) — navigation chrome,
+link bars, ads and footers are short and tag-heavy, so they fall out
+without any DOM parse.  The whole operator is JVM-side array
+higher-order functions over ``split(html, '\\n')`` — per-row, ORDER
+PRESERVING and shuffle-free, so it scales as a pure map stage — and
+every step is SQL-expressible, so the DuckDB twin recomputes the full
+synthesize -> strip -> extract pipeline bit-for-bit.
+
+``synth_html`` wraps a plain-text corpus in deterministic boilerplate
+(nav / ad / footer chrome) so extraction is testable without external
+data: on long docs the extractor must recover the original text exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# the tag-strip pattern '<[^>]*>' parses identically under Java regex
+# and RE2, but the replace semantics differ: Spark's regexp_replace is
+# GLOBAL by default while DuckDB replaces only the first match without
+# the 'g' flag — hence two spellings of the same strip
+_STRIP_SPARK = "trim(regexp_replace({l}, '<[^>]*>', ''))"
+_STRIP_SQL = "trim(regexp_replace({l}, '<[^>]*>', '', 'g'))"
+
+# DOM-type blocklist: lines opening a known chrome container are never
+# content, whatever their text density (a long copyright footer beats
+# the density test alone)
+_CHROME = "^<(nav|footer|header|script|style|aside)[ >]"
+
+_BOILERPLATE = (
+    '<html><head><title>synthetic page</title></head><body>',
+    '<nav><a href="/">Home</a> | <a href="/about">About</a> | '
+    '<a href="/contact">Contact</a></nav>',
+    '<div class="ad">Buy now!!! Limited offer</div>',
+    # ... main content goes here ...
+    '<footer>(c) 2026 example corp - all rights reserved</footer>',
+    '</body></html>',
+)
+
+
+def synth_html(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """docs + an ``html`` column: the text wrapped in deterministic
+    boilerplate chrome (pure concat — no Python)."""
+    head = "\n".join(_BOILERPLATE[:3])
+    tail = "\n".join(_BOILERPLATE[3:])
+    return docs.withColumn(
+        "html",
+        F.concat(F.lit(head + "\n<p>"), F.col(text_col),
+                 F.lit("</p>\n" + tail)))
+
+
+def extract_main_html(html_docs: DataFrame, min_text: int = 30,
+                      html_col: str = "html") -> DataFrame:
+    """doc_id + ``main_text``: the density-filtered, tag-stripped lines
+    joined in original order."""
+    s = _STRIP_SPARK.format(l="l")
+    expr = (f"array_join(transform(filter(split({html_col}, '\\n'), "
+            f"l -> length({s}) >= {min_text} "
+            f"AND length({s}) * 2 >= length(l) "
+            f"AND NOT l rlike '{_CHROME}'), "
+            f"l -> {s}), '\\n')")
+    return html_docs.select("doc_id", F.expr(expr).alias("main_text"))
+
+
+def extract_main_sql(min_text: int = 30) -> str:
+    """DuckDB twin of synth_html + extract_main_html over ``documents``:
+    same boilerplate, same density rule, digest of the extracted text."""
+    head = "\n".join(_BOILERPLATE[:3]).replace("'", "''")
+    tail = "\n".join(_BOILERPLATE[3:]).replace("'", "''")
+    s = _STRIP_SQL.format(l="l")
+    return f"""
+        WITH page AS (
+          SELECT doc_id,
+                 '{head}' || chr(10) || '<p>' || text || '</p>'
+                 || chr(10) || '{tail}' AS html
+          FROM documents)
+        SELECT doc_id,
+               md5(array_to_string(
+                 [{s} for l in string_split(html, chr(10))
+                  if length({s}) >= {min_text}
+                     and length({s}) * 2 >= length(l)
+                     and not regexp_matches(l, '{_CHROME}')],
+                 chr(10))) AS main_digest
+        FROM page"""

@@ -1,0 +1,41 @@
+"""Main-content extraction (north_rule: HTML boilerplate strip + DOM
+heuristics): the density + chrome-blocklist extractor must recover the
+wrapped text exactly and reject every boilerplate line, shuffle-free."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SF),
+                                reason="driver testdata missing")
+
+
+def test_extracts_exact_text_and_rejects_chrome(spark):
+    from ocr_proofreader_spark.operators.extraction import (
+        extract_main_html, synth_html)
+    docs = (spark.read.parquet(os.path.join(SF, "documents.parquet"))
+            .select("doc_id", "text"))
+    out = extract_main_html(synth_html(docs))
+    joined = {r["doc_id"]: r["main_text"] for r in out.collect()}
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    long_docs = {k: v for k, v in originals.items() if len(v) >= 30}
+    assert long_docs
+    for k, v in long_docs.items():
+        assert joined[k] == v, k               # exact recovery
+    chrome = ("Home", "Buy now", "rights reserved", "synthetic page")
+    for v in joined.values():
+        assert not any(c in v for c in chrome)
+
+
+def test_extraction_is_shuffle_free(spark):
+    from ocr_proofreader_spark.operators.extraction import (
+        extract_main_html, synth_html)
+    from ocr_proofreader_spark.plans import physical as P
+    docs = (spark.read.parquet(os.path.join(SF, "documents.parquet"))
+            .select("doc_id", "text"))
+    assert P.count_exchanges(extract_main_html(synth_html(docs))) == 0
