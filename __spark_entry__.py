@@ -125,7 +125,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_proofreader_spark.operators import training_ops as ops
     from ocr_proofreader_spark.operators.extraction import (
-        extract_main_html, synth_html)
+        extract_main_html, pdf_text_roundtrip, synth_html)
     from ocr_proofreader_spark.operators.multimodal import (
         decode_media, decode_media_bytes, media_inventory, resize_media,
         sample_frames, synth_payload)
@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content": lambda s, d: extract_main_html(
             synth_html(_t(s, d, "documents")))
             .select("doc_id", F.md5("main_text").alias("main_digest")),
+        "pdf_text_roundtrip": lambda s, d: pdf_text_roundtrip(
+            _t(s, d, "documents")),
         # deduplication
         "normalize_text": lambda s, d: ops.normalize_text(
             _t(s, d, "documents")),
@@ -617,6 +619,10 @@ def oracle_sql() -> dict[str, str]:
         # synthesize -> tag-strip -> density-filter pipeline recomputed
         # in SQL (see operators/extraction.py::extract_main_sql)
         "html_main_content": _HTML_MAIN_ORACLE,
+        # twin of extraction.pdf_text_roundtrip: the oracle never sees
+        # the PDF bytes — a lossy write/parse anywhere fails the hash
+        "pdf_text_roundtrip": """
+            SELECT doc_id, md5(text) AS pdf_text_digest FROM documents""",
         # twin of training_ops.normalize_text: DuckDB's nfc_normalize
         # implements the same Unicode NFC algorithm as Python's
         # unicodedata (verified on composed/decomposed accent fixtures)

@@ -68,6 +68,34 @@ def extract_main_html(html_docs: DataFrame, min_text: int = 30,
     return html_docs.select("doc_id", F.expr(expr).alias("main_text"))
 
 
+def pdf_text_roundtrip(docs: DataFrame) -> DataFrame:
+    """PDF text-layer plumbing end-to-end (north_rule: "PDF/layout
+    parse"): write each doc's text into a real single-page PDF
+    (functions/pdf.py), parse the PDF's content streams back, and emit
+    the md5 of the recovered text.  One Arrow-batched map stage, no
+    shuffle.  The DuckDB twin is just ``md5(text)`` — it never sees the
+    PDF bytes, so a lossy escape/parse anywhere in the roundtrip fails
+    the hash."""
+    import hashlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ocr_proofreader_spark.functions.pdf import (extract_pdf_text,
+                                                     synth_pdf)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["pdf_text_digest"] = [
+                hashlib.md5(extract_pdf_text(synth_pdf(t))
+                            .encode()).hexdigest()
+                for t in pdf["text"]]
+            yield out
+    return (docs.select("doc_id", "text")
+            .mapInPandas(fn, "doc_id long, pdf_text_digest string"))
+
+
 def extract_main_sql(min_text: int = 30) -> str:
     """DuckDB twin of synth_html + extract_main_html over ``documents``:
     same boilerplate, same density rule, digest of the extracted text."""
