@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "nation")),
         "orders_rollup_cube": lambda s, d: rel.orders_rollup_cube(
             _t(s, d, "orders"), _t(s, d, "customer")),
+        "asof_join": lambda s, d: rel.asof_join_events(
+            _t(s, d, "events")),
         "sessionize_stream_closed": _sessionize_stream_closed,
         "windowed_counts_stream": _windowed_counts_stream,
         "dedup_stream_hashes": _dedup_stream_hashes,
@@ -486,6 +488,23 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY ROLLUP (c_mktsegment, o_orderstatus)""",
+        # twin of relational.asof_join_events via DuckDB's NATIVE ASOF
+        # JOIN — an independent implementation of the semantics, not a
+        # re-spelling of the engine's window trick.  The right side is
+        # pre-deduped to max event_id per (user, ts) so equal-timestamp
+        # winners are deterministic in both engines.
+        "asof_join": """
+            WITH l AS (SELECT user_id, event_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            r0 AS (SELECT user_id, ts, max(event_id) AS r_event_id
+                   FROM events WHERE event_type = 'view'
+                   GROUP BY user_id, ts)
+            SELECT l.user_id, l.event_id,
+                   r0.r_event_id AS matched_event_id,
+                   CAST(floor(epoch(l.ts)) - floor(epoch(r0.ts))
+                        AS BIGINT) AS lag_sec
+            FROM l ASOF LEFT JOIN r0
+              ON l.user_id = r0.user_id AND l.ts >= r0.ts""",
         "sessionize_stream_closed": """
             WITH g AS (
               SELECT user_id, event_id, ts, value,

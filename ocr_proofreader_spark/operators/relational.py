@@ -132,3 +132,50 @@ def orders_rollup_cube(orders: DataFrame, customer: DataFrame) -> DataFrame:
                     F.when(F.col("_g2") == 1, F.lit("ALL"))
                     .otherwise(F.col("o_orderstatus")).alias("orderstatus"),
                     "n_orders", "revenue"))
+
+
+def asof_join_events(events: DataFrame, left_type: str = "purchase",
+                     right_type: str = "view") -> DataFrame:
+    """AS-OF join — an operator Spark lacks natively — as a composition
+    of built-ins: each ``left_type`` event matched to the most recent
+    ``right_type`` event of the same user with ``r.ts <= l.ts``
+    (backward-inclusive, DuckDB ASOF JOIN semantics, which is the twin).
+
+    Physical strategy: union-tag the two sides and take
+    ``last(..., ignorenulls)`` over a (user, ts)-ordered running window
+    — ONE shuffle on the join key and a linear scan, instead of the
+    range-join explosion a theta-join would plan.  At equal timestamps
+    the right side sorts first (inclusive match) and the right side is
+    pre-deduped to max event_id per (user, ts) so the winner is
+    deterministic — the exact rule the oracle applies."""
+    base = events.select("user_id", "event_id", "ts", "event_type")
+    right = (base.filter(F.col("event_type") == right_type)
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("r_event_id")))
+    left = base.filter(F.col("event_type") == left_type)
+    tagged = (right.select("user_id", "ts",
+                           F.lit(None).cast("long").alias("event_id"),
+                           "r_event_id",
+                           F.col("ts").alias("r_ts"),
+                           F.lit(1).alias("is_r"))
+              .unionByName(left.select(
+                  "user_id", "ts", "event_id",
+                  F.lit(None).cast("long").alias("r_event_id"),
+                  F.lit(None).cast("timestamp").alias("r_ts"),
+                  F.lit(0).alias("is_r"))))
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(), F.col("is_r").desc(),
+                  F.col("event_id").asc_nulls_first())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (tagged
+               .withColumn("m_event_id",
+                           F.last("r_event_id", ignorenulls=True).over(w))
+               .withColumn("m_ts",
+                           F.last("r_ts", ignorenulls=True).over(w))
+               .filter(F.col("is_r") == 0))
+    return matched.select(
+        "user_id", "event_id",
+        F.col("m_event_id").alias("matched_event_id"),
+        (F.floor(F.unix_timestamp("ts"))
+         - F.floor(F.unix_timestamp("m_ts"))).cast("long")
+        .alias("lag_sec"))
