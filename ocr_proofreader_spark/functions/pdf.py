@@ -84,13 +84,17 @@ def _parse_string(data: bytes, i: int) -> tuple[bytes, int]:
         c = data[i:i + 1]
         if c == b"\\":
             nxt = data[i + 1:i + 2].decode("latin-1")
-            if nxt.isdigit():                       # octal escape
+            if nxt in "01234567":                   # octal escape
                 j = i + 1
-                while j < i + 4 and data[j:j + 1].isdigit():
+                while j < i + 4 and data[j:j + 1] in b"01234567":
                     j += 1
-                out.append(int(data[i + 1:j], 8))
+                # PDF spec: high-order overflow of a 3-digit octal
+                # (e.g. \777) is ignored — mask, don't raise
+                out.append(int(data[i + 1:j], 8) & 0xFF)
                 i = j
                 continue
+            # spec: backslash before a non-escape char (incl. \8, \9)
+            # is dropped, the char kept
             out += _UNESC.get(nxt, nxt).encode("latin-1")
             i += 2
             continue
@@ -110,7 +114,10 @@ def extract_pdf_text(data: bytes) -> str:
     (one output line per Td/Tj pair)."""
     if not data.startswith(b"%PDF-"):
         raise PdfError("not a PDF payload")
-    if b"FlateDecode" in data:
+    # compression is declared in object DICTIONARIES (outside stream
+    # bodies) — scan only there, or document TEXT merely mentioning
+    # FlateDecode would be misclassified as compressed
+    if b"FlateDecode" in _STREAM_RE.sub(b"", data):
         raise PdfError("compressed streams unsupported by the built-in "
                        "parser; plug a full PDF library into the same "
                        "extract signature")

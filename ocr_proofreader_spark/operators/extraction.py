@@ -59,12 +59,16 @@ def extract_main_html(html_docs: DataFrame, min_text: int = 30,
                       html_col: str = "html") -> DataFrame:
     """doc_id + ``main_text``: the density-filtered, tag-stripped lines
     joined in original order."""
+    # strip each line ONCE into a struct, then filter/project on it —
+    # inlining the strip into the predicate would run the regex 3x/line
     s = _STRIP_SPARK.format(l="l")
-    expr = (f"array_join(transform(filter(split({html_col}, '\\n'), "
-            f"l -> length({s}) >= {min_text} "
-            f"AND length({s}) * 2 >= length(l) "
-            f"AND NOT l rlike '{_CHROME}'), "
-            f"l -> {s}), '\\n')")
+    expr = (f"array_join(transform(filter("
+            f"transform(split({html_col}, '\\n'), "
+            f"l -> struct(l AS raw, {s} AS txt)), "
+            f"p -> length(p.txt) >= {min_text} "
+            f"AND length(p.txt) * 2 >= length(p.raw) "
+            f"AND NOT p.raw rlike '{_CHROME}'), "
+            f"p -> p.txt), '\\n')")
     return html_docs.select("doc_id", F.expr(expr).alias("main_text"))
 
 
@@ -87,7 +91,9 @@ def pdf_text_roundtrip(docs: DataFrame) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[["doc_id"]].copy()
+            # NULL text -> NULL digest, matching the oracle's md5(NULL)
             out["pdf_text_digest"] = [
+                None if t is None else
                 hashlib.md5(extract_pdf_text(synth_pdf(t))
                             .encode()).hexdigest()
                 for t in pdf["text"]]
@@ -109,10 +115,15 @@ def extract_main_sql(min_text: int = 30) -> str:
                  || chr(10) || '{tail}' AS html
           FROM documents)
         SELECT doc_id,
-               md5(array_to_string(
-                 [{s} for l in string_split(html, chr(10))
-                  if length({s}) >= {min_text}
-                     and length({s}) * 2 >= length(l)
-                     and not regexp_matches(l, '{_CHROME}')],
-                 chr(10))) AS main_digest
+               -- coalesce: array_to_string([]) is NULL in DuckDB where
+               -- Spark's array_join([]) is '' — all-filtered docs must
+               -- digest identically on both sides
+               md5(coalesce(array_to_string(
+                 [p.txt for p in
+                  [struct_pack(raw := l, txt := {s})
+                   for l in string_split(html, chr(10))]
+                  if length(p.txt) >= {min_text}
+                     and length(p.txt) * 2 >= length(p.raw)
+                     and not regexp_matches(p.raw, '{_CHROME}')],
+                 chr(10)), '')) AS main_digest
         FROM page"""

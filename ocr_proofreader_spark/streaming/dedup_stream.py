@@ -32,6 +32,10 @@ def dedup_stream_hashes(spark: SparkSession, input_path: str,
     """Distinct content hashes of a streamed documents table: one output
     row per unique md5(text), whichever micro-batch its first copy
     arrived in."""
+    if output_dir is not None and checkpoint_dir is None:
+        raise ValueError("output_dir requires checkpoint_dir (the "
+                         "watermark/dedup state must persist with the "
+                         "sink to survive restarts)")
     schema = spark.read.parquet(input_path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -51,12 +55,17 @@ def dedup_stream_hashes(spark: SparkSession, input_path: str,
              .start())
         q.awaitTermination()
         return spark.read.parquet(output_dir)
-    name = "dedup_stream_" + uuid.uuid4().hex[:12]
+    # scratch parquet sink (not the memory sink: each memory-sink call
+    # would pin its full result in the driver for the session lifetime)
+    import tempfile
+    scratch = tempfile.mkdtemp(prefix="dedup_stream_")
+    out_path = f"{scratch}/out-{uuid.uuid4().hex[:8]}"
     q = (deduped.writeStream
-         .format("memory")
-         .queryName(name)
+         .format("parquet")
+         .option("path", out_path)
+         .option("checkpointLocation", f"{scratch}/ckpt")
          .outputMode("append")
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
-    return spark.table(name)
+    return spark.read.parquet(out_path)
