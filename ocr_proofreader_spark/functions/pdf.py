@@ -2,21 +2,24 @@
 
 No PDF library exists in this container, but the format's text layer is
 parseable with the stdlib for the class of documents a layout pipeline
-actually controls: uncompressed content streams with ``Tj`` text-show
-operators.  ``synth_pdf`` writes a real single-page PDF (header, objects,
-xref, trailer — openable by any viewer) with one ``Td``/``Tj`` pair per
-text line; ``extract_pdf_text`` parses any PDF's uncompressed streams
-back to lines.  Together they make the Spark-side PDF plumbing
-(payload -> parse -> text) verifiable end-to-end: the roundtrip must be
-lossless, which the DuckDB twin checks as md5(text) without ever seeing
-the PDF bytes.  Compressed (FlateDecode) streams are out of scope here
-and raise :class:`PdfError` — a production build swaps in a full parser
-behind the same function signature.
+meets in practice: content streams with ``Tj`` text-show operators,
+stored raw or ``/FlateDecode``-compressed (zlib is stdlib; Flate covers
+nearly all real-world PDFs).  ``synth_pdf`` writes a real single-page
+PDF (header, objects, xref, trailer — openable by any viewer) with one
+``Td``/``Tj`` pair per text line, optionally Flate-compressed;
+``extract_pdf_text`` inflates Flate streams and parses the text
+operators back to lines.  Together they make the Spark-side PDF
+plumbing (payload -> parse -> text) verifiable end-to-end: the
+roundtrip must be lossless, which the DuckDB twin checks as md5(text)
+without ever seeing the PDF bytes.  Genuinely unsupported filters
+(DCTDecode, LZW, ...) still raise :class:`PdfError` — a production
+build swaps in a full parser behind the same function signature.
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 
 
 class PdfError(ValueError):
@@ -35,9 +38,10 @@ def _escape(s: str) -> bytes:
     return b"".join(_ESC.get(b, bytes([b])) for b in s.encode("utf-8"))
 
 
-def synth_pdf(text: str) -> bytes:
+def synth_pdf(text: str, compress: bool = False) -> bytes:
     """A complete single-page PDF whose text layer holds ``text``, one
-    Td/Tj pair per line, uncompressed."""
+    Td/Tj pair per line; ``compress=True`` Flate-compresses the content
+    stream (the layout of virtually every real-world PDF)."""
     lines = text.split("\n")
     ops = [b"BT", b"/F1 12 Tf", b"72 760 Td"]
     for i, line in enumerate(lines):
@@ -46,14 +50,18 @@ def synth_pdf(text: str) -> bytes:
         ops.append(b"(" + _escape(line) + b") Tj")
     ops.append(b"ET")
     stream = b"\n".join(ops)
+    filt = b""
+    if compress:
+        stream = zlib.compress(stream, 6)
+        filt = b" /Filter /FlateDecode"
 
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
         b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
-        b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
-        + stream + b"\nendstream",
+        b"<< /Length " + str(len(stream)).encode() + filt
+        + b" >>\nstream\n" + stream + b"\nendstream",
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
     out = bytearray(b"%PDF-1.4\n")
@@ -71,7 +79,63 @@ def synth_pdf(text: str) -> bytes:
     return bytes(out)
 
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_STREAM_START_RE = re.compile(rb"stream(\r\n|\n)")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+
+
+def _stream_objects(data: bytes):
+    """Yield ``(dict_bytes, body_bytes)`` per stream object.  The
+    governing dictionary sits between the preceding ``obj`` keyword and
+    the ``stream`` keyword; the body honors a direct ``/Length`` when
+    the dictionary carries one (compressed bytes may contain
+    ``endstream`` by chance), else falls back to the
+    ``endstream``-delimited slice with one trailing EOL stripped."""
+    pos = 0
+    while True:
+        m = _STREAM_START_RE.search(data, pos)
+        if not m:
+            return
+        obj_at = data.rfind(b"obj", 0, m.start())
+        d = data[max(obj_at, 0):m.start()]
+        body_at = m.end()
+        lm = _LENGTH_RE.search(d)
+        if lm:
+            end = body_at + int(lm.group(1))
+            body = data[body_at:end]
+            nxt = data.find(b"endstream", end)
+            pos = nxt + 9 if nxt >= 0 else end
+        else:
+            em = data.find(b"endstream", body_at)
+            if em < 0:
+                raise PdfError("unterminated stream")
+            body = data[body_at:em]
+            if body.endswith(b"\r\n"):
+                body = body[:-2]
+            elif body.endswith(b"\n") or body.endswith(b"\r"):
+                body = body[:-1]
+            pos = em + 9
+        yield d, body
+
+
+def _decode_stream(d: bytes, body: bytes) -> bytes:
+    """Apply the stream dictionary's filter chain.  Raw and
+    /FlateDecode (stdlib zlib) are supported; anything else raises."""
+    fm = _FILTER_RE.search(d)
+    if not fm:
+        return body
+    names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
+    for name in names:
+        if name == b"FlateDecode":
+            try:
+                body = zlib.decompress(body)
+            except zlib.error as e:
+                raise PdfError(f"bad FlateDecode stream: {e}")
+        else:
+            raise PdfError(f"unsupported stream filter "
+                           f"/{name.decode('latin-1')}; plug a full PDF "
+                           f"library into the same extract signature")
+    return body
 
 
 def _parse_string(data: bytes, i: int) -> tuple[bytes, int]:
@@ -93,6 +157,13 @@ def _parse_string(data: bytes, i: int) -> tuple[bytes, int]:
                 out.append(int(data[i + 1:j], 8) & 0xFF)
                 i = j
                 continue
+            if nxt in "\n\r":
+                # spec: backslash-EOL is a line continuation — both the
+                # backslash and the EOL (incl. \r\n) emit nothing
+                i += 2
+                if nxt == "\r" and data[i:i + 1] == b"\n":
+                    i += 1
+                continue
             # spec: backslash before a non-escape char (incl. \8, \9)
             # is dropped, the char kept
             out += _UNESC.get(nxt, nxt).encode("latin-1")
@@ -110,20 +181,13 @@ def _parse_string(data: bytes, i: int) -> tuple[bytes, int]:
 
 
 def extract_pdf_text(data: bytes) -> str:
-    """Text lines of every uncompressed content stream, in layout order
-    (one output line per Td/Tj pair)."""
+    """Text lines of every content stream (raw or Flate-compressed), in
+    layout order (one output line per Td/Tj pair)."""
     if not data.startswith(b"%PDF-"):
         raise PdfError("not a PDF payload")
-    # compression is declared in object DICTIONARIES (outside stream
-    # bodies) — scan only there, or document TEXT merely mentioning
-    # FlateDecode would be misclassified as compressed
-    if b"FlateDecode" in _STREAM_RE.sub(b"", data):
-        raise PdfError("compressed streams unsupported by the built-in "
-                       "parser; plug a full PDF library into the same "
-                       "extract signature")
     lines: list[str] = []
-    for m in _STREAM_RE.finditer(data):
-        body = m.group(1)
+    for d, body in _stream_objects(data):
+        body = _decode_stream(d, body)
         i = 0
         while True:
             p = body.find(b"(", i)
@@ -138,5 +202,5 @@ def extract_pdf_text(data: bytes) -> str:
                     raise PdfError(f"non-UTF-8 text string: {e}")
             i = end
     if not lines:
-        raise PdfError("no uncompressed text operators found")
+        raise PdfError("no text operators found")
     return "\n".join(lines)

@@ -49,9 +49,13 @@ def synth_html(docs: DataFrame, text_col: str = "text") -> DataFrame:
     boilerplate chrome (pure concat — no Python)."""
     head = "\n".join(_BOILERPLATE[:3])
     tail = "\n".join(_BOILERPLATE[3:])
+    # NULL text -> empty page (mirrored by coalesce in the SQL twin);
+    # without this, concat would propagate NULL html on the Spark side
+    # while any non-NULL-propagating twin spelling diverged
     return docs.withColumn(
         "html",
-        F.concat(F.lit(head + "\n<p>"), F.col(text_col),
+        F.concat(F.lit(head + "\n<p>"),
+                 F.coalesce(F.col(text_col), F.lit("")),
                  F.lit("</p>\n" + tail)))
 
 
@@ -75,11 +79,12 @@ def extract_main_html(html_docs: DataFrame, min_text: int = 30,
 def pdf_text_roundtrip(docs: DataFrame) -> DataFrame:
     """PDF text-layer plumbing end-to-end (north_rule: "PDF/layout
     parse"): write each doc's text into a real single-page PDF
-    (functions/pdf.py), parse the PDF's content streams back, and emit
-    the md5 of the recovered text.  One Arrow-batched map stage, no
-    shuffle.  The DuckDB twin is just ``md5(text)`` — it never sees the
-    PDF bytes, so a lossy escape/parse anywhere in the roundtrip fails
-    the hash."""
+    (functions/pdf.py) — even doc_ids get a /FlateDecode-compressed
+    content stream, odd ones raw, so both parser paths run on every
+    corpus — parse the PDF back, and emit the md5 of the recovered
+    text.  One Arrow-batched map stage, no shuffle.  The DuckDB twin is
+    just ``md5(text)`` — it never sees the PDF bytes, so a lossy
+    escape/inflate/parse anywhere in the roundtrip fails the hash."""
     import hashlib
     from typing import Iterator
 
@@ -94,9 +99,10 @@ def pdf_text_roundtrip(docs: DataFrame) -> DataFrame:
             # NULL text -> NULL digest, matching the oracle's md5(NULL)
             out["pdf_text_digest"] = [
                 None if t is None else
-                hashlib.md5(extract_pdf_text(synth_pdf(t))
-                            .encode()).hexdigest()
-                for t in pdf["text"]]
+                hashlib.md5(
+                    extract_pdf_text(synth_pdf(t, compress=d % 2 == 0))
+                    .encode()).hexdigest()
+                for d, t in zip(pdf["doc_id"], pdf["text"])]
             yield out
     return (docs.select("doc_id", "text")
             .mapInPandas(fn, "doc_id long, pdf_text_digest string"))
@@ -111,8 +117,8 @@ def extract_main_sql(min_text: int = 30) -> str:
     return f"""
         WITH page AS (
           SELECT doc_id,
-                 '{head}' || chr(10) || '<p>' || text || '</p>'
-                 || chr(10) || '{tail}' AS html
+                 '{head}' || chr(10) || '<p>' || coalesce(text, '')
+                 || '</p>' || chr(10) || '{tail}' AS html
           FROM documents)
         SELECT doc_id,
                -- coalesce: array_to_string([]) is NULL in DuckDB where

@@ -86,8 +86,12 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
 
     Ranking is on INTEGERS (tf desc, then word) so ties are
     engine-portable; the float idf score is computed after ranking and
-    only reported (rounded), never compared — ln() differs by ulps
-    across libms and must not decide order.  Plan: one (doc, word)
+    reported as floor(x * 1e4) int64 (a value within an ulp of a 4dp
+    half-boundary flips under round() — Spark rounds HALF_UP, DuckDB
+    half-away-from-zero — while floor absorbs ulp noise everywhere
+    except exact 1e-4 multiples, which ln() never lands on), never
+    compared — ln() differs by ulps across libms and must not decide
+    order.  Plan: one (doc, word)
     hash agg; df as a window COUNT over it (an agg+join would cost two
     extra exchanges); corpus size broadcast-joined; row_number window
     for the top-k — three shuffles total, pinned in test_plans.py."""
@@ -102,9 +106,9 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
             .filter(F.col("rk") <= k)
             .crossJoin(F.broadcast(n))
             .select("doc_id", "word", "tf", "df", "rk",
-                    F.round(F.col("tf")
-                            * F.log(F.col("n_docs") / F.col("df")), 4)
-                    .alias("tfidf")))
+                    F.floor(F.col("tf")
+                            * F.log(F.col("n_docs") / F.col("df"))
+                            * 10000).cast("long").alias("tfidf_e4")))
 
 
 EN_PUNCT_CLASS = "[^.,;:!?]"  # negated: keep only sentence punctuation
@@ -630,8 +634,10 @@ def embedding_project(emb: DataFrame, out_dim: int = 16) -> DataFrame:
     P[i][j] = (md5("i|j")[0] - 127.5) / 127.5 — a hash-defined matrix
     both engines can regenerate, so unlike RNG-seeded planes the whole
     reduction is DuckDB-oracle-checkable.  Output exploded to
-    (vec_id, dim, value) rows; value rounded AFTER the fold (sum order
-    differs across engines by ulps; 4dp absorbs it)."""
+    (vec_id, dim, value) rows; value reported as floor(x * 1e4) int64
+    AFTER the fold (sum order differs across engines by ulps; floor at
+    4dp absorbs it, and unlike round() it has no half-boundary where
+    the two engines' rounding modes diverge)."""
     import hashlib
     dim_row = emb.select(F.size("embedding").alias("d")).first()
     dim = int(dim_row["d"])
@@ -647,7 +653,9 @@ def embedding_project(emb: DataFrame, out_dim: int = 16) -> DataFrame:
     return (emb.select("vec_id",
                        F.posexplode(proj("embedding"))
                        .alias("dim", "value"))
-            .select("vec_id", "dim", F.round("value", 4).alias("value")))
+            .select("vec_id", "dim",
+                    F.floor(F.col("value") * 10000).cast("long")
+                    .alias("value_e4")))
 
 
 def embedding_norms(emb: DataFrame) -> DataFrame:
@@ -657,20 +665,31 @@ def embedding_norms(emb: DataFrame) -> DataFrame:
 
 def label_centroid_sim(emb: DataFrame) -> DataFrame:
     """Per-label mean-vector cohesion: avg cosine of members to their
-    label centroid — a grouped array aggregation exercise."""
-    dim_row = emb.select(F.size("embedding").alias("d")).first()
-    dim = int(dim_row["d"])
-    zeros = F.array(*[F.lit(0.0) for _ in range(dim)])
-    summed = (emb.groupBy("label")
-              .agg(F.aggregate(
-                  F.collect_list("embedding"), zeros,
-                  lambda acc, v: F.zip_with(acc, v, lambda x, y:
-                                            x + y.cast("double")))
-                  .alias("sumvec"),
-                  F.count("*").alias("n")))
-    cent = summed.select(
-        "label", "n",
-        F.expr("transform(sumvec, x -> x / n)").alias("centroid"))
+    label centroid — a grouped array aggregation exercise.
+
+    Centroids come from ``posexplode`` -> ``groupBy(label, dim).sum()``:
+    the aggregation buffer is one double per (label, dim) cell and
+    partial sums combine map-side, so a label with 10^8 members costs
+    the same reducer memory as one with 10.  (The previous
+    ``aggregate(collect_list(embedding), ...)`` shape materialized every
+    member vector of a label in a single buffer — OOM by design at
+    few-labels/many-members scale.)  The per-label array rebuild
+    collect_lists dim-many (dim, sum) structs — bounded by the embedding
+    width, never by member count."""
+    summed = (emb.select("label",
+                         F.posexplode("embedding").alias("dim", "x"))
+              .groupBy("label", "dim")
+              .agg(F.sum(F.col("x").cast("double")).alias("s")))
+    nmem = emb.groupBy("label").agg(F.count("*").alias("n"))
+    cent = (summed
+            .groupBy("label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda t: t["s"]).alias("sumvec"))
+            .join(F.broadcast(nmem), "label")
+            .select("label", "n",
+                    F.expr("transform(sumvec, x -> x / n)")
+                    .alias("centroid")))
     joined = emb.join(F.broadcast(cent), "label")
     return (joined
             .select("label",

@@ -18,7 +18,9 @@ the user table.  Within a micro-batch the fold is vectorized
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 from typing import Iterator, Tuple
@@ -63,9 +65,37 @@ def as_stream_dir(input_path: str) -> str:
     if not os.path.isfile(input_path):
         return input_path
     d = tempfile.mkdtemp(prefix="stream_src_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     os.symlink(os.path.abspath(input_path),
                os.path.join(d, os.path.basename(input_path)))
     return d
+
+
+def run_to_scratch_parquet(stream_df: DataFrame, spark: SparkSession,
+                           prefix: str) -> DataFrame:
+    """Drain a streaming DataFrame through Trigger.AvailableNow into a
+    scratch parquet sink and return a batch DataFrame over the result.
+
+    NOT the memory sink: each memory-sink call pins its full result in
+    the driver for the session lifetime.  The scratch dir (sink +
+    checkpoint) lives under driver-local tempfile.mkdtemp, which is
+    only correct in local mode — on a cluster, executors must write to
+    shared storage, so production callers pass their own
+    output_dir/checkpoint_dir instead of this helper.  Scratch dirs are
+    removed at interpreter exit (the returned DataFrame stays lazy, so
+    an eager unlink would break later actions)."""
+    scratch = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    out_path = os.path.join(scratch, "out-" + uuid.uuid4().hex[:8])
+    q = (stream_df.writeStream
+         .format("parquet")
+         .option("path", out_path)
+         .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(out_path)
 
 
 def _session_fold(gap_sec: int):
@@ -117,9 +147,19 @@ def sessionize_stream(spark: SparkSession, input_path: str,
     """Run the stateful sessionizer over ``input_path`` (parquet file or
     directory) with Trigger.AvailableNow and return the closed sessions.
 
-    One stateful shuffle on user_id; the memory sink is test/driver
-    plumbing — production would writeStream to the lineage-tracked
-    table with a real checkpoint dir."""
+    One stateful shuffle on user_id; results drain through a scratch
+    parquet sink (run_to_scratch_parquet — the memory sink would pin
+    every result in the driver for the session lifetime).  Production
+    would writeStream to the lineage-tracked table with a durable
+    checkpoint dir.
+
+    Ordering caveat: within a micro-batch events are sorted by
+    (ts, event_id), but the fold assumes per-user event time is
+    non-decreasing ACROSS micro-batches (AvailableNow over sorted files
+    satisfies this); a late event arriving after its session closed in
+    an earlier batch would start a new session rather than reopen the
+    old one — a watermark+event-time-ordered variant is the fix when
+    the source can reorder across batches."""
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger",
@@ -130,12 +170,4 @@ def sessionize_stream(spark: SparkSession, input_path: str,
               .applyInPandasWithState(
                   _session_fold(gap_minutes * 60), SESSION_OUT,
                   SESSION_STATE, "append", GroupStateTimeout.NoTimeout))
-    name = "closed_sessions_" + uuid.uuid4().hex[:12]
-    q = (closed.writeStream
-         .format("memory")
-         .queryName(name)
-         .outputMode("append")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return spark.table(name)
+    return run_to_scratch_parquet(closed, spark, "sessionize_stream_")

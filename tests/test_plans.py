@@ -150,3 +150,23 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_label_centroid_no_vector_collect(spark):
+    """Centroid building must aggregate per (label, dim) cell — a
+    constant-size buffer — never collect_list whole member vectors into
+    one reducer (the round-2 scale-killer shape).  The only collect_list
+    allowed is the dim-bounded (dim, sum) array rebuild."""
+    import os
+
+    import pytest
+
+    from ocr_proofreader_spark.operators import training_ops as ops
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(src):
+        pytest.skip("driver testdata missing")
+    emb = spark.read.parquet(src)
+    plan = P.physical_plan(ops.label_centroid_sim(emb))
+    assert "collect_list(embedding" not in plan
+    assert "posexplode" in plan.lower() or "Generate" in plan
+    assert P.has_partial_aggregate(ops.label_centroid_sim(emb))
