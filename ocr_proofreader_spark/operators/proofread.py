@@ -130,7 +130,7 @@ def _make_correct_fn(lex_bc, freq_k: int):
                 c0, f0 = pr.corrections, pr.flagged
                 lines = row.text.split("\n")
                 lines = pr.repair_hyphenation(lines)
-                lines = [pr.correct_line(ln) for ln in lines]
+                lines = pr.correct_lines(lines)
                 out_rows.append((row.doc_id, row.offset, "text",
                                  "\n".join(lines), row.media_ref,
                                  pr.corrections - c0, pr.flagged - f0))
@@ -179,6 +179,9 @@ class _SegmentOnly(DocProofreader):
 
     def correct_line(self, line):
         return line
+
+    def correct_lines(self, lines):
+        return lines
 
     def count_freq(self, spans):
         self.freq = {"": 1}  # non-empty: run() skips recount
