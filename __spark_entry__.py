@@ -902,3 +902,61 @@ def oracle_sql() -> dict[str, str]:
         # correctness gate is the pytest oracle-parity suite
         # (tests/test_spark_parity.py, test_embedding_ops.py).
     }
+
+
+# ---------------------------------------------------------------------------
+# extra contract queries — LOCAL gate only.  The driver harness verifies
+# at most the first 50 registered queries and the main registry holds
+# exactly 50 green ones, so operators added after round 2 are verified
+# here: scripts/check_contract.py runs these with the same bit-exact
+# DuckDB comparison, and tests/test_entry_contract.py pins them.  The
+# driver never sees these names — COVERAGE.md lists them as
+# local-gate-only, claiming nothing stronger than CORRECTNESS_r*.json.
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from ocr_proofreader_spark.operators import training_ops as ops
+    return {
+        "repetition_metrics": lambda s, d: ops.repetition_metrics(
+            _t(s, d, "documents")),
+        "token_count_bpe": lambda s, d: ops.token_count_bpe(
+            _t(s, d, "documents")),
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    from ocr_proofreader_spark.operators.training_ops import BPE_PATTERN
+    bpe_pat = BPE_PATTERN.replace("'", "''")
+    return {
+        # twin of training_ops.repetition_metrics (Gopher/C4 repetition
+        # signals): same 2-gram definition, integer counts throughout
+        "repetition_metrics": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t,
+                     string_split(text, chr(10)) AS ls
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest([t[i] || ' ' || t[i+1]
+                             for i in range(1, len(t))]) AS gram
+              FROM toks WHERE len(t) >= 2),
+            gc AS (SELECT doc_id, gram, count(*) AS c FROM grams
+                   GROUP BY doc_id, gram),
+            ga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+                          CAST(max(c) AS BIGINT) AS top_2gram_count
+                   FROM gc GROUP BY doc_id)
+            SELECT d.doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(len(list_distinct(ls)) AS BIGINT)
+                       AS n_distinct_lines,
+                   coalesce(n_2grams, 0) AS n_2grams,
+                   coalesce(top_2gram_count, 0) AS top_2gram_count
+            FROM toks d LEFT JOIN ga USING (doc_id)""",
+        # twin of training_ops.token_count_bpe: the lookahead-free BPE
+        # pre-tokenizer subset parses identically under Java regex and
+        # RE2 (both count non-overlapping matches left-to-right)
+        "token_count_bpe": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{bpe_pat}'))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents""",
+    }

@@ -134,6 +134,66 @@ def quality_metrics(docs: DataFrame,
         .cast("long").alias("n_stopwords"))
 
 
+# Gopher/C4-family repetition signals.  2-grams are materialized by
+# explode -> partial+final hash agg (one shuffle on (doc_id, gram)) —
+# the HOF alternative (count each distinct gram by filtering the gram
+# array) is O(distinct x len) per row and loses map-side combine.
+BIGRAMS = (f"CASE WHEN size({TOKENS}) >= 2 THEN "
+           f"transform(sequence(1, size({TOKENS}) - 1), "
+           f"i -> concat(element_at({TOKENS}, i), ' ', "
+           f"element_at({TOKENS}, i + 1))) "
+           f"ELSE array() END")
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Repetition-based quality signals per doc (the Gopher/C4 rules):
+    duplicate-line counts and most-frequent-2-gram dominance.  All
+    outputs are integer counts (bit-portable; consumers derive the
+    published ratio thresholds — e.g. Gopher's 'fraction of chars in
+    most frequent 2-gram' — losslessly).  Lines are computed per-row
+    with no shuffle; the 2-gram aggregate is one partial+final hash
+    agg, then an equi-join back on doc_id."""
+    lines = docs.select(
+        "doc_id",
+        F.expr("size(split(text, '\\n'))").cast("long").alias("n_lines"),
+        F.expr("size(array_distinct(split(text, '\\n')))").cast("long")
+        .alias("n_distinct_lines"))
+    grams = (docs
+             .select("doc_id", F.explode(F.expr(BIGRAMS)).alias("gram"))
+             .groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+             .groupBy("doc_id")
+             .agg(F.sum("c").alias("n_2grams"),
+                  F.max("c").alias("top_2gram_count")))
+    return (lines.join(grams, "doc_id", "left")
+            .select("doc_id", "n_lines", "n_distinct_lines",
+                    F.coalesce("n_2grams", F.lit(0)).cast("long")
+                    .alias("n_2grams"),
+                    F.coalesce("top_2gram_count", F.lit(0)).cast("long")
+                    .alias("top_2gram_count")))
+
+
+# BPE-ish pre-tokenizer (GPT-2 family), simplified to the lookahead-free
+# subset both Java regex (Spark) and RE2 (DuckDB) accept: contraction
+# suffixes, optionally-space-prefixed letter runs, digit runs, symbol
+# runs, whitespace runs.
+BPE_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)"
+               r"| ?[A-Za-zÀ-ÿ]+"
+               r"| ?[0-9]+"
+               r"| ?[^A-Za-z0-9À-ÿ\s']+"
+               r"|\s+")
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """Sub-word-style token count: number of BPE pre-tokenizer segments
+    (the standard proxy for LLM token cost before a real merges table
+    is applied).  Pure regexp scan, no shuffle, no Python."""
+    pat = BPE_PATTERN.replace("\\", "\\\\").replace("'", "\\'")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(text, '{pat}', 0))")
+        .cast("long").alias("n_bpe_tokens"))
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 

@@ -52,8 +52,16 @@ def main(sf_dir: str) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{os.path.join(sf_dir, t + '.parquet')}'")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    # local-gate-only extras: operators past the driver's 50-query cap,
+    # verified with the identical bit-exact comparison here
+    if hasattr(entrymod, "extra_queries"):
+        n_driver = len(qs)
+        qs.update(entrymod.extra_queries())
+        oracles.update(entrymod.extra_oracle_sql())
+        print(f"checking {n_driver} driver queries "
+              f"+ {len(qs) - n_driver} local-gate extras")
     failures = []
     for name, fn in qs.items():
         t0 = time.time()

@@ -55,3 +55,35 @@ def test_rows_only_queries_run(spark):
     for name in set(qs) - set(oracles):
         df = qs[name](spark, SF)
         assert df.count() >= 0, name
+
+
+def test_registry_fits_driver_window():
+    """The driver harness verifies at most the first 50 registered
+    queries (rounds 1-2 silently dropped keys 51-53): the main registry
+    must stay at EXACTLY 50 and the media queries inside the window."""
+    qs = list(entrymod.queries())
+    assert len(qs) == 50
+    for name in ("media_inventory", "media_decode", "media_resize",
+                 "media_frames", "media_decode_real"):
+        assert qs.index(name) < 50
+
+
+def test_extra_queries_match_duckdb_oracles(spark):
+    """Local-gate extras (operators past the driver cap) hold the same
+    bit-exact DuckDB contract as the main registry."""
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{os.path.join(SF, 'documents.parquet')}'")
+    qs = entrymod.extra_queries()
+    oracles = entrymod.extra_oracle_sql()
+    assert set(oracles) == set(qs)
+    for name, sql in oracles.items():
+        df = qs[name](spark, SF)
+        rows = [tuple(r) for r in df.collect()]
+        res = con.execute(sql)
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        assert len(rows) == len(orows), f"{name}: row count"
+        assert sorted(df.columns) == sorted(ocols), f"{name}: columns"
+        assert value_hash(df.columns, rows) == value_hash(ocols, orows), \
+            f"{name}: value hash"
