@@ -107,3 +107,38 @@ def test_extraction_is_shuffle_free(spark):
     docs = (spark.read.parquet(os.path.join(SF, "documents.parquet"))
             .select("doc_id", "text"))
     assert P.count_exchanges(extract_main_html(synth_html(docs))) == 0
+
+
+def test_pdf_flate_roundtrip_property():
+    """Arbitrary text survives the roundtrip through a /FlateDecode-
+    compressed content stream, and stream-length framing (not the
+    endstream scan) delimits the compressed bytes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_proofreader_spark.functions.pdf import (PdfError,
+                                                     extract_pdf_text,
+                                                     synth_pdf)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=9,
+                                          blacklist_categories=("Cs",)),
+                   max_size=200))
+    def check(t):
+        assert extract_pdf_text(synth_pdf(t, compress=True)) == t
+
+    check()
+    # a compressed stream whose inflated body happens to contain the
+    # word endstream must still parse (the /Length framing wins)
+    t = "before\nendstream\nafter"
+    assert extract_pdf_text(synth_pdf(t, compress=True)) == t
+    # backslash-EOL is a line continuation: both chars vanish
+    assert extract_pdf_text(
+        b"%PDF-1.4\nstream\n(ab\\\ncd) Tj\nendstream") == "abcd"
+    assert extract_pdf_text(
+        b"%PDF-1.4\nstream\n(ab\\\r\ncd) Tj\nendstream") == "abcd"
+    # unsupported filters are classified, not crashed on
+    import pytest
+    with pytest.raises(PdfError):
+        extract_pdf_text(b"%PDF-1.4\n1 0 obj\n<< /Filter /DCTDecode >>\n"
+                         b"stream\nxx\nendstream\nendobj")
