@@ -1,0 +1,106 @@
+"""Custom stateful streaming operator on the MODERN state API:
+per-user running aggregates with ``transformWithStateInPandas``
+(Spark 4.x successor to ``applyInPandasWithState`` — typed state
+variables, per-state TTL, timers).
+
+The processor keeps one ValueState row per user (event count, value
+sum, max event epoch) and emits the UPDATED running aggregate for every
+user touched by a micro-batch.  Because the counters are monotone, the
+final aggregate per user — selected downstream as the row with the
+highest n_events via ``max_by`` — is independent of micro-batch
+slicing, which is what makes the operator's contract deterministic and
+DuckDB-checkable: it must equal the plain batch
+``groupBy(user_id).agg(count, sum, max)``.
+
+Scale shape: state is O(users) (one fixed-width row each, RocksDB-
+backed on a real cluster), the only shuffle is the groupBy key, and the
+in-batch fold is a vectorized pandas aggregation — the same contract as
+the gap sessionizer in ``stateful.py``.
+
+ENVIRONMENT GATE: transformWithState's state-server protocol imports
+``google.protobuf`` (pyspark 4.1 ships the generated StateMessage_pb2
+but not protobuf itself), which this container lacks and cannot
+install — the streaming run raises
+STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE at pre-init.  Like the
+Iceberg backend (catalog.py), the operator is complete and the
+processor fold is unit-tested against a fake state (tests/
+test_streaming.py); the end-to-end test self-skips until protobuf is
+present.  It also requires the RocksDB state store provider
+(``spark.sql.streaming.stateStore.providerClass``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.stateful_processor import (StatefulProcessor,
+                                                      StatefulProcessorHandle)
+
+from ocr_proofreader_spark.streaming.stateful import (EVENTS_SCHEMA,
+                                                      as_stream_dir,
+                                                      run_to_scratch_parquet)
+
+RUNNING_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+    T.StructField("max_epoch", T.LongType()),
+])
+
+_STATE_SCHEMA = ("n_events BIGINT, total_value DOUBLE, max_epoch BIGINT")
+
+
+class _RunningAgg(StatefulProcessor):
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._agg = handle.getValueState("agg", _STATE_SCHEMA)
+
+    def handleInputRows(self, key: Tuple, rows: Iterator[pd.DataFrame],
+                        timerValues) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n = tot = 0
+        mx = -(1 << 62)
+        for pdf in rows:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+            mx = max(mx, int((pdf["ts"].astype("int64") // 10**9).max()))
+        if self._agg.exists():
+            pn, pt, pm = self._agg.get()
+            n, tot, mx = n + pn, tot + pt, max(mx, pm)
+        self._agg.update((n, tot, mx))
+        yield pd.DataFrame([(user_id, n, tot, mx)],
+                           columns=[f.name for f in RUNNING_OUT])
+
+    def close(self) -> None:
+        pass
+
+
+def user_totals_stream(spark: SparkSession, input_path: str,
+                       max_files_per_trigger: int | None = None
+                       ) -> DataFrame:
+    """Run the running-aggregate processor over ``input_path`` with
+    Trigger.AvailableNow and return the FINAL aggregate per user (the
+    emission with the highest event count — counters are monotone, so
+    this equals the batch groupBy whatever the batch slicing was).
+    total_value is rounded after selection: double summation order
+    differs across slicings by ulps."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.parquet(as_stream_dir(input_path))
+    running = (stream
+               .groupBy("user_id")
+               .transformWithStateInPandas(
+                   _RunningAgg(), RUNNING_OUT, "append", "None"))
+    emitted = run_to_scratch_parquet(running, spark, "tws_agg_")
+    return (emitted
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.expr("max_by(total_value, n_events)").alias("_tv"),
+                 F.max("max_epoch").alias("max_epoch"))
+            .select("user_id", "n_events",
+                    F.round("_tv", 3).alias("total_value"), "max_epoch"))

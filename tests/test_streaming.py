@@ -231,3 +231,76 @@ def test_dedup_stream_bounded_state_with_watermark(spark, tmp_path):
     logical = plan_df._jdf.queryExecution().logical().toString()
     assert "DeduplicateWithinWatermark" in logical
     assert "EventTimeWatermark" in logical
+
+
+def test_tws_running_agg_processor_fold():
+    """transformWithStateInPandas processor core: the per-key fold over
+    a fake ValueState matches a pandas groupby whatever the batch
+    slicing — the monotone-counter property user_totals_stream's
+    final-row selection relies on.  (The streaming runtime itself needs
+    google.protobuf — absent here; see tws_agg docstring.)"""
+    import pandas as pd
+
+    from ocr_proofreader_spark.streaming.tws_agg import _RunningAgg
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+    events = pd.DataFrame({
+        "ts": pd.to_datetime([1000, 2000, 1500, 9000], unit="s"),
+        "value": [1.5, 2.0, 0.25, 3.0],
+    })
+    for split in (1, 2, 4):   # batch slicing must not change the result
+        proc = _RunningAgg()
+        handle = FakeHandle()
+        proc.init(handle)
+        chunks = [events.iloc[i:i + split] for i in range(0, 4, split)]
+        last = None
+        for ch in chunks:
+            last = next(proc.handleInputRows((7,), iter([ch]), None))
+        assert last.iloc[0]["n_events"] == 4
+        assert abs(last.iloc[0]["total_value"] - 6.75) < 1e-9
+        assert last.iloc[0]["max_epoch"] == 9000
+        assert handle.state.v[0] == 4
+
+
+def test_tws_stream_end_to_end(spark):
+    """Full transformWithStateInPandas run — self-skips until the
+    container gains google.protobuf (required by the state-server
+    protocol)."""
+    import importlib.util
+    import os
+
+    import pytest
+
+    if importlib.util.find_spec("google") is None:
+        pytest.skip("google.protobuf missing: transformWithState "
+                    "pre-init worker cannot start in this container")
+    from ocr_proofreader_spark.streaming.tws_agg import user_totals_stream
+    src = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(src):
+        pytest.skip("driver testdata missing")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    out = user_totals_stream(spark, src, max_files_per_trigger=1)
+    batch = (spark.read.parquet(src).groupBy("user_id").count())
+    assert out.count() == batch.count()
