@@ -921,6 +921,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")),
         "token_count_bpe": lambda s, d: ops.token_count_bpe(
             _t(s, d, "documents")),
+        "distinct_token_sketch": lambda s, d: ops.distinct_token_sketch(
+            _t(s, d, "documents")),
     }
 
 
@@ -959,4 +961,11 @@ def extra_oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '{bpe_pat}'))
                         AS BIGINT) AS n_bpe_tokens
             FROM documents""",
+        # gate twin of training_ops.distinct_token_sketch: ground truth
+        # (exact vocabulary size) recomputed independently; the pinned
+        # boolean fails the hash if the HLL sketch drifts past tolerance
+        "distinct_token_sketch": f"""
+            SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_exact,
+                   true AS within_tol
+            FROM (SELECT unnest({_TOKS}) AS word FROM documents)""",
     }

@@ -194,6 +194,24 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
         .cast("long").alias("n_bpe_tokens"))
 
 
+def distinct_token_sketch(docs: DataFrame, rsd: float = 0.02,
+                          tol: float = 0.05) -> DataFrame:
+    """Sketch-vs-exact gate for vocabulary size: HyperLogLog++
+    (``approx_count_distinct``, Spark's built-in sketch — constant
+    memory, map-side mergeable, the 100 TB way to count vocabulary)
+    against the exact distinct count, with the relative error pinned
+    under ``tol``.  Gate pattern as for ANN recall: the DuckDB twin
+    recomputes the ground truth (exact count) and pins the boolean —
+    a sketch drifting past tolerance fails the hash."""
+    words = docs.select(F.explode(F.expr(TOKENS)).alias("word"))
+    return (words.agg(
+        F.approx_count_distinct("word", rsd=rsd).alias("n_approx"),
+        F.countDistinct("word").alias("n_exact"))
+        .select(F.col("n_exact").cast("long").alias("n_exact"),
+                (F.abs(F.col("n_approx") - F.col("n_exact"))
+                 <= tol * F.col("n_exact")).alias("within_tol")))
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 
