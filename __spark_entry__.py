@@ -203,9 +203,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing — registered EARLY: the driver harness
         # verifies at most the first 50 keys in registration order, and
         # these sat at positions 51-53 in rounds 1-2 (never driver-
-        # checked).  The registry is also consolidated to exactly 50
-        # (orders_rollup / quality_score / doc_fingerprint were strict
-        # subsets of their *_cube / *_metrics / *_rolling variants).
+        # checked).  The registry is also consolidated to exactly 50:
+        # orders_rollup / quality_score are strict subsets of their
+        # *_cube / *_metrics variants; doc_fingerprint is NOT derivable
+        # from doc_fingerprint_rolling and moved to extra_queries()
+        # (still bit-exact-checked by the local gate).
         "media_inventory": lambda s, d: media_inventory(
             interleaved_from_flat(_t(s, d, "documents"))),
         # the decode/resize/frames stages emit array<float> features; the
@@ -917,6 +919,12 @@ def oracle_sql() -> dict[str, str]:
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_proofreader_spark.operators import training_ops as ops
     return {
+        # restored from the round-3 registry consolidation: its
+        # lower/collapse-whitespace/trim normalization path is NOT
+        # contained in doc_fingerprint_rolling (raw-token polynomial
+        # hash), so it keeps verification here
+        "doc_fingerprint": lambda s, d: ops.doc_fingerprint(
+            _t(s, d, "documents")),
         "repetition_metrics": lambda s, d: ops.repetition_metrics(
             _t(s, d, "documents")),
         "token_count_bpe": lambda s, d: ops.token_count_bpe(
@@ -960,6 +968,11 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '{bpe_pat}'))
                         AS BIGINT) AS n_bpe_tokens
+            FROM documents""",
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS fingerprint
             FROM documents""",
         # gate twin of training_ops.distinct_token_sketch: ground truth
         # (exact vocabulary size) recomputed independently; the pinned

@@ -80,7 +80,11 @@ def synth_pdf(text: str, compress: bool = False) -> bytes:
 
 
 _STREAM_START_RE = re.compile(rb"stream(\r\n|\n)")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# possessive \d++ so the lookahead cannot be defeated by backtracking:
+# with greedy \d+, an indirect '/Length 123 0 R' would match '12' (the
+# engine gives back digits until the lookahead passes) and mis-frame
+# the stream body
+_LENGTH_RE = re.compile(rb"/Length\s+(\d++)(?!\s+\d+\s+R)")
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 
 
@@ -148,6 +152,8 @@ def _parse_string(data: bytes, i: int) -> tuple[bytes, int]:
         c = data[i:i + 1]
         if c == b"\\":
             nxt = data[i + 1:i + 2].decode("latin-1")
+            if not nxt:       # backslash is the final byte: truncated
+                raise PdfError("unterminated PDF string")
             if nxt in "01234567":                   # octal escape
                 j = i + 1
                 while j < i + 4 and data[j:j + 1] in b"01234567":

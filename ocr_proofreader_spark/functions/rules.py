@@ -320,17 +320,11 @@ class DocProofreader:
 
     # -- per-line R3a + token pass --------------------------------------------
 
-    def correct_line(self, line: str) -> str:
-        if LIG_RE.search(line):
-            mapped = line.translate(LIG_TRANSLATE)
-            if mapped != line:
-                self.corrections += 1
-            line = mapped
-        # one capturing split replaces finditer + group/start/end slicing
-        # (~16% off the whole rules chain at ~400k tokens/batch); tokens
-        # sit at odd indices and are corrected in place, so reassembly is
-        # a single join — and a no-op line returns itself unbuilt
-        parts = TOKEN_SPLIT_RE.split(line)
+    def _token_pass(self, parts: list[str]) -> bool:
+        """Correct the token slots (odd indices of a capturing split) in
+        place; returns whether anything changed.  One capturing split
+        replaces finditer + group/start/end slicing (~16% off the whole
+        rules chain at ~400k tokens/batch)."""
         memo = self._memo
         changed = False
         corrections = flagged = 0
@@ -349,7 +343,16 @@ class DocProofreader:
                 changed = True
         self.corrections += corrections
         self.flagged += flagged
-        return "".join(parts) if changed else line
+        return changed
+
+    def correct_line(self, line: str) -> str:
+        if LIG_RE.search(line):
+            mapped = line.translate(LIG_TRANSLATE)
+            if mapped != line:
+                self.corrections += 1
+            line = mapped
+        parts = TOKEN_SPLIT_RE.split(line)
+        return "".join(parts) if self._token_pass(parts) else line
 
     def correct_lines(self, lines: list[str]) -> list[str]:
         """Whole-span token pass: one capturing split over the joined
@@ -363,25 +366,9 @@ class DocProofreader:
         if LIG_RE.search(text):
             return [self.correct_line(ln) for ln in lines]
         parts = TOKEN_SPLIT_RE.split(text)
-        memo = self._memo
-        changed = False
-        corrections = flagged = 0
-        for i in range(1, len(parts), 2):
-            tok = parts[i]
-            hit = memo.get(tok)
-            if hit is None:
-                hit = self._correct_token_uncached(tok)
-                memo[tok] = hit
-            fixed, dc, df = hit
-            if dc or df:
-                corrections += dc
-                flagged += df
-            if fixed != tok:
-                parts[i] = fixed
-                changed = True
-        self.corrections += corrections
-        self.flagged += flagged
-        return ("".join(parts) if changed else text).split("\n")
+        if self._token_pass(parts):
+            return "".join(parts).split("\n")
+        return text.split("\n")
 
     # -- R5/R6 segmentation -----------------------------------------------------
 

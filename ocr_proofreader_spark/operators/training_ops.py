@@ -175,12 +175,15 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
 # BPE-ish pre-tokenizer (GPT-2 family), simplified to the lookahead-free
 # subset both Java regex (Spark) and RE2 (DuckDB) accept: contraction
 # suffixes, optionally-space-prefixed letter runs, digit runs, symbol
-# runs, whitespace runs.
+# runs, whitespace runs.  Whitespace is an EXPLICIT class, not \s —
+# Java's \s includes \x0B (vertical tab) while RE2's does not, so \s
+# would diverge on any doc containing one.
+_WS = r" \t\n\x0B\f\r"
 BPE_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)"
                r"| ?[A-Za-zÀ-ÿ]+"
                r"| ?[0-9]+"
-               r"| ?[^A-Za-z0-9À-ÿ\s']+"
-               r"|\s+")
+               rf"| ?[^A-Za-z0-9À-ÿ{_WS}']+"
+               rf"|[{_WS}]+")
 
 
 def token_count_bpe(docs: DataFrame) -> DataFrame:

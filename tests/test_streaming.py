@@ -290,7 +290,12 @@ def test_tws_stream_end_to_end(spark):
 
     import pytest
 
-    if importlib.util.find_spec("google") is None:
+    try:
+        has_protobuf = importlib.util.find_spec(
+            "google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
         pytest.skip("google.protobuf missing: transformWithState "
                     "pre-init worker cannot start in this container")
     from ocr_proofreader_spark.streaming.tws_agg import user_totals_stream
