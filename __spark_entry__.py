@@ -931,7 +931,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")),
         "distinct_token_sketch": lambda s, d: ops.distinct_token_sketch(
             _t(s, d, "documents")),
+        "range_join": lambda s, d: _range_join(s, d),
     }
+
+
+def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_proofreader_spark.operators import relational as rel
+    return rel.range_join_events(_t(spark, sf_dir, "events"))
 
 
 def extra_oracle_sql() -> dict[str, str]:
@@ -981,4 +987,17 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_exact,
                    true AS within_tol
             FROM (SELECT unnest({_TOKS}) AS word FROM documents)""",
+        # twin of relational.range_join_events: the EXACT range-predicate
+        # join — an independent plan (DuckDB's IEJoin handles the
+        # inequality natively) vs the engine's bin-bucketized equi-join
+        "range_join": """
+            SELECT l.user_id, l.event_id,
+                   CAST(count(r.r_epoch) AS BIGINT) AS n_views_prior_hour
+            FROM (SELECT user_id, event_id, floor(epoch(ts)) AS epoch
+                  FROM events WHERE event_type = 'purchase') l
+            LEFT JOIN (SELECT user_id, floor(epoch(ts)) AS r_epoch
+                       FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.user_id
+                 AND r.r_epoch > l.epoch - 3600 AND r.r_epoch <= l.epoch
+            GROUP BY l.user_id, l.event_id""",
     }

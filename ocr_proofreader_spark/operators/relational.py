@@ -179,3 +179,45 @@ def asof_join_events(events: DataFrame, left_type: str = "purchase",
         (F.floor(F.unix_timestamp("ts"))
          - F.floor(F.unix_timestamp("m_ts"))).cast("long")
         .alias("lag_sec"))
+
+
+def range_join_events(events: DataFrame, window_sec: int = 3600,
+                      left_type: str = "purchase",
+                      right_type: str = "view") -> DataFrame:
+    """RANGE join — each ``left_type`` event counts the same user's
+    ``right_type`` events inside the preceding ``window_sec`` interval
+    (r.ts in (l.ts - window, l.ts]).
+
+    Physical strategy: a naive theta-join on the BETWEEN predicate
+    plans as BroadcastNestedLoop/Cartesian — quadratic per user.
+    Instead both sides are bucketized into window-sized time bins and
+    the left side probes its own and the previous bin (every interval
+    of length w intersects exactly 2 w-aligned bins), making the join a
+    plain equi hash join on (user_id, bin) with the exact range
+    predicate re-applied as a post-filter — the standard range-join
+    binning optimization (pinned BNLJ-free in tests/test_plans.py).
+    Cost: each right row is duplicated into 2 bin probes, vs the
+    unbounded per-user blowup of the nested loop."""
+    base = events.select("user_id", "event_id", "ts", "event_type",
+                         F.floor(F.unix_timestamp("ts")).alias("epoch"))
+    left = (base.filter(F.col("event_type") == left_type)
+            .select("user_id", "event_id", "epoch",
+                    F.floor(F.col("epoch") / window_sec).alias("bin")))
+    right = (base.filter(F.col("event_type") == right_type)
+             .select("user_id",
+                     F.col("epoch").alias("r_epoch"),
+                     F.floor(F.col("r_epoch") / window_sec).alias("r_bin")))
+    probes = left.withColumn(
+        "probe_bin", F.explode(F.array(F.col("bin"), F.col("bin") - 1)))
+    joined = probes.join(
+        right,
+        (probes.user_id == right.user_id)
+        & (probes.probe_bin == right.r_bin), "left")
+    in_range = (F.col("r_epoch").isNotNull()
+                & (F.col("r_epoch") > F.col("epoch") - window_sec)
+                & (F.col("r_epoch") <= F.col("epoch")))
+    return (joined
+            .groupBy(probes.user_id, "event_id")
+            .agg(F.sum(F.when(in_range, 1).otherwise(0))
+                 .cast("long").alias("n_views_prior_hour"))
+            .select(F.col("user_id"), "event_id", "n_views_prior_hour"))

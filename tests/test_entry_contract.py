@@ -72,8 +72,9 @@ def test_extra_queries_match_duckdb_oracles(spark):
     """Local-gate extras (operators past the driver cap) hold the same
     bit-exact DuckDB contract as the main registry."""
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
-                f"'{os.path.join(SF, 'documents.parquet')}'")
+    for t in ["documents", "events", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{os.path.join(SF, t + '.parquet')}'")
     qs = entrymod.extra_queries()
     oracles = entrymod.extra_oracle_sql()
     assert set(oracles) == set(qs)

@@ -170,3 +170,22 @@ def test_label_centroid_no_vector_collect(spark):
     assert "collect_list(embedding" not in plan
     assert "posexplode" in plan.lower() or "Generate" in plan
     assert P.has_partial_aggregate(ops.label_centroid_sim(emb))
+
+
+def test_range_join_avoids_nested_loop(spark):
+    """The range join must plan as a bin-bucketized equi hash join —
+    never the BroadcastNestedLoop/Cartesian a raw BETWEEN theta-join
+    would produce (quadratic per user at scale)."""
+    import os
+
+    import pytest
+
+    from ocr_proofreader_spark.operators.relational import range_join_events
+    src = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(src):
+        pytest.skip("driver testdata missing")
+    ev = spark.read.parquet(src)
+    plan = P.physical_plan(range_join_events(ev))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
