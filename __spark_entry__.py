@@ -932,6 +932,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_token_sketch": lambda s, d: ops.distinct_token_sketch(
             _t(s, d, "documents")),
         "range_join": lambda s, d: _range_join(s, d),
+        "minhash_jaccard_estimate": lambda s, d:
+            ops.minhash_jaccard_estimate(_t(s, d, "documents")),
     }
 
 
@@ -987,6 +989,25 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_exact,
                    true AS within_tol
             FROM (SELECT unnest({_TOKS}) AS word FROM documents)""",
+        # gate twin of training_ops.minhash_jaccard_estimate: ground
+        # truth = exact pair count on the same bounded subset; the
+        # pinned boolean fails the hash if the MinHash estimator's MAE
+        # vs exact Jaccard drifts past tolerance
+        "minhash_jaccard_estimate": f"""
+            WITH docs100 AS (SELECT * FROM documents WHERE doc_id < 100),
+            toks AS (SELECT doc_id, {_TOKS} AS t FROM docs100),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                           for i in range(1, len(t)-1)]))
+                         AS shingle
+              FROM toks WHERE len(t) >= 3)
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                   true AS mae_floor_met
+            FROM (SELECT a.doc_id AS d1, b.doc_id AS d2
+                  FROM sh a JOIN sh b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)""",
         # twin of relational.range_join_events: the EXACT range-predicate
         # join — an independent plan (DuckDB's IEJoin handles the
         # inequality natively) vs the engine's bin-bucketized equi-join

@@ -197,6 +197,40 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
         .cast("long").alias("n_bpe_tokens"))
 
 
+def minhash_jaccard_estimate(docs: DataFrame, bands: int = 16,
+                             max_doc: int = 100,
+                             tol: float = 0.2) -> DataFrame:
+    """Sketch-vs-exact gate for MinHash similarity: estimate each
+    pair's Jaccard as the fraction of agreeing MinHash signatures
+    (bands independent permutation-free hashes -> per-pair std
+    sqrt(J(1-J)/bands)) and pin the mean absolute error against the
+    exact n-gram Jaccard under ``tol``.  Runs on the same bounded
+    subset as ``ngram_jaccard`` (the all-pairs estimator is the
+    oracle-side baseline, not the scale path — LSH banding is).  Gate
+    pattern as for ANN recall: the DuckDB twin recomputes the ground
+    truth (exact pair count) and pins the boolean."""
+    sub = docs.filter(F.col("doc_id") < max_doc)
+    sigs = minhash_signatures(sub, bands=bands)
+    a = sigs.select(F.col("doc_id").alias("d1"), "band",
+                    F.col("sig").alias("sig1"))
+    b = sigs.select(F.col("doc_id").alias("d2"), "band",
+                    F.col("sig").alias("sig2"))
+    est = (a.join(b, ["band"])
+           .filter(F.col("d1") < F.col("d2"))
+           .groupBy("d1", "d2")
+           .agg((F.sum(F.when(F.col("sig1") == F.col("sig2"), 1)
+                       .otherwise(0)) / bands).alias("est")))
+    exact = ngram_jaccard(docs)
+    joined = exact.join(est, ["d1", "d2"], "left").select(
+        "d1", "d2", "jaccard",
+        F.coalesce("est", F.lit(0.0)).alias("est"))
+    return (joined.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.avg(F.abs(F.col("est") - F.col("jaccard"))).alias("mae"))
+        .select("n_pairs",
+                (F.col("mae") <= tol).alias("mae_floor_met")))
+
+
 def distinct_token_sketch(docs: DataFrame, rsd: float = 0.02,
                           tol: float = 0.05) -> DataFrame:
     """Sketch-vs-exact gate for vocabulary size: HyperLogLog++
