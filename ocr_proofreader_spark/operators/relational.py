@@ -196,8 +196,8 @@ def range_join_events(events: DataFrame, window_sec: int = 3600,
     plain equi hash join on (user_id, bin) with the exact range
     predicate re-applied as a post-filter — the standard range-join
     binning optimization (pinned BNLJ-free in tests/test_plans.py).
-    Cost: each right row is duplicated into 2 bin probes, vs the
-    unbounded per-user blowup of the nested loop."""
+    Cost: each LEFT row probes 2 bins (the left side is duplicated
+    once), vs the unbounded per-user blowup of the nested loop."""
     base = events.select("user_id", "event_id", "ts", "event_type",
                          F.floor(F.unix_timestamp("ts")).alias("epoch"))
     left = (base.filter(F.col("event_type") == left_type)
@@ -206,7 +206,7 @@ def range_join_events(events: DataFrame, window_sec: int = 3600,
     right = (base.filter(F.col("event_type") == right_type)
              .select("user_id",
                      F.col("epoch").alias("r_epoch"),
-                     F.floor(F.col("r_epoch") / window_sec).alias("r_bin")))
+                     F.floor(F.col("epoch") / window_sec).alias("r_bin")))
     probes = left.withColumn(
         "probe_bin", F.explode(F.array(F.col("bin"), F.col("bin") - 1)))
     joined = probes.join(

@@ -220,7 +220,7 @@ def minhash_jaccard_estimate(docs: DataFrame, bands: int = 16,
            .groupBy("d1", "d2")
            .agg((F.sum(F.when(F.col("sig1") == F.col("sig2"), 1)
                        .otherwise(0)) / bands).alias("est")))
-    exact = ngram_jaccard(docs)
+    exact = ngram_jaccard(docs, max_doc_id=max_doc)
     joined = exact.join(est, ["d1", "d2"], "left").select(
         "d1", "d2", "jaccard",
         F.coalesce("est", F.lit(0.0)).alias("est"))

@@ -216,7 +216,12 @@ def test_ivf_cell_partition_pruning(spark, tmp_path):
     probe = ops.ivf_probe_cells(qv, cents, n_probe)
     scan = spark.read.parquet(store).filter(F.col("cell").isin(probe))
     plan = P.physical_plan(scan)
-    assert "PartitionFilters" in plan and "cell" in plan
+    # the cell predicate must land in the scan's PARTITION filters (an
+    # unpartitioned filtered scan prints 'PartitionFilters: []', so the
+    # non-empty-list match is the real assertion)
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert m is not None and "cell" in m.group(1), plan
     # the physical proof: only the probed partitions' rows are read,
     # and the probed-cell row count matches the unpartitioned filter
     expected = assigned.filter(F.col("cell").isin(probe)).count()
