@@ -934,6 +934,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": lambda s, d: _range_join(s, d),
         "minhash_jaccard_estimate": lambda s, d:
             ops.minhash_jaccard_estimate(_t(s, d, "documents")),
+        # JSON column surface (events.props is a JSON string): JVM-side
+        # path extraction + agg, no UDF
+        "events_json_agg": lambda s, d: (
+            _t(s, d, "events")
+            .select("event_type",
+                    F.get_json_object("props", "$.k").cast("long")
+                    .alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k"))),
     }
 
 
@@ -989,6 +1000,13 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_exact,
                    true AS within_tol
             FROM (SELECT unnest({_TOKS}) AS word FROM documents)""",
+        "events_json_agg": """
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                       AS sum_k,
+                   CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                       AS max_k
+            FROM events GROUP BY event_type""",
         # gate twin of training_ops.minhash_jaccard_estimate: ground
         # truth = exact pair count on the same bounded subset; the
         # pinned boolean fails the hash if the MinHash estimator's MAE
