@@ -934,6 +934,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": lambda s, d: _range_join(s, d),
         "minhash_jaccard_estimate": lambda s, d:
             ops.minhash_jaccard_estimate(_t(s, d, "documents")),
+        # date-function surface: month truncation + year extraction over
+        # order dates, grouped rollup
+        "orders_monthly": lambda s, d: (
+            _t(s, d, "orders")
+            .select(F.year("o_orderdate").cast("long").alias("yr"),
+                    F.month("o_orderdate").cast("long").alias("mo"),
+                    "o_totalprice")
+            .groupBy("yr", "mo")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))),
         # JSON column surface (events.props is a JSON string): JVM-side
         # path extraction + agg, no UDF
         "events_json_agg": lambda s, d: (
@@ -1000,6 +1010,12 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_exact,
                    true AS within_tol
             FROM (SELECT unnest({_TOKS}) AS word FROM documents)""",
+        "orders_monthly": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(month(o_orderdate) AS BIGINT) AS mo,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1, 2""",
         "events_json_agg": """
             SELECT event_type, count(*) AS n_events,
                    CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
