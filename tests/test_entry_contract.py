@@ -72,7 +72,8 @@ def test_extra_queries_match_duckdb_oracles(spark):
     """Local-gate extras (operators past the driver cap) hold the same
     bit-exact DuckDB contract as the main registry."""
     con = duckdb.connect()
-    for t in ["documents", "events", "embeddings"]:
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{os.path.join(SF, t + '.parquet')}'")
     qs = entrymod.extra_queries()
