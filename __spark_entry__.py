@@ -944,6 +944,19 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("yr", "mo")
             .agg(F.count("*").alias("n_orders"),
                  F.round(F.sum("o_totalprice"), 2).alias("revenue"))),
+        # MAP column surface: parse props into map<string,bigint>, then
+        # map functions (element_at / map_keys) — all JVM-side
+        "events_map_agg": lambda s, d: (
+            _t(s, d, "events")
+            .select("event_type",
+                    F.from_json("props", "map<string,bigint>")
+                    .alias("m"))
+            .select("event_type",
+                    F.element_at("m", "k").alias("kval"),
+                    F.size(F.map_keys("m")).cast("long").alias("n_keys"))
+            .groupBy("event_type")
+            .agg(F.sum("kval").alias("sum_kval"),
+                 F.max("n_keys").alias("max_keys"))),
         # JSON column surface (events.props is a JSON string): JVM-side
         # path extraction + agg, no UDF
         "events_json_agg": lambda s, d: (
@@ -1016,6 +1029,14 @@ def extra_oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS revenue
             FROM orders GROUP BY 1, 2""",
+        # twin of events_map_agg: DuckDB json functions recompute the
+        # same map-derived values (json_keys ~ map_keys)
+        "events_map_agg": """
+            SELECT event_type,
+                   CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                       AS sum_kval,
+                   CAST(max(len(json_keys(props))) AS BIGINT) AS max_keys
+            FROM events GROUP BY event_type""",
         "events_json_agg": """
             SELECT event_type, count(*) AS n_events,
                    CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
