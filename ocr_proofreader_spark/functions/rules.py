@@ -173,7 +173,12 @@ class DocProofreader:
         freq = Counter(self.freq)
         for sp in spans:
             if sp["kind"] == "text" and sp["text"]:
-                freq.update(t.lower() for t in TOKEN_RE.findall(sp["text"]))
+                # tokenize THEN casefold (lowercasing the raw text first
+                # would change token boundaries for chars like 'Ÿ' whose
+                # lowercase form enters the token class); map() keeps the
+                # fold C-side vs a genexpr frame per token
+                freq.update(map(str.lower,
+                                TOKEN_RE.findall(sp["text"])))
         self.freq = freq
 
     def _frequent_candidates(self, first: str, length: int):
