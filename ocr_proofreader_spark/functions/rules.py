@@ -106,6 +106,28 @@ def dist_le2(a: str, b: str) -> int:
     m, n = len(a), len(b)
     if m == 0:
         return n if n <= 2 else 3
+    # closed forms for small stripped cores (~60% of calls after the
+    # mask prefilter).  Maximal stripping guarantees a[0] != b[0] and
+    # (for m > 0) a[-1] != b[-1], which pins each case:
+    if m == 1:
+        if n == 1:
+            return 1          # single substitution
+        if n == 2:
+            return 2          # sub + insert (ends both differ)
+        return 2 if a in b[1:-1] else 3   # n == 3: a must be b's middle
+    if m == 2:
+        if n == 2:
+            return 2          # two substitutions always suffice
+        if n == 3:
+            a0, a1 = a
+            # one deletion of b, then hamming <= 1 vs a
+            for x, y in ((b[1], b[2]), (b[0], b[2]), (b[0], b[1])):
+                if x == a0 or y == a1:
+                    return 2
+            return 3
+        # n == 4: two deletions -> d=2 iff a is a subsequence of b
+        p = b.find(a[0])
+        return 2 if 0 <= p and a[1] in b[p + 1:] else 3
     prev = list(range(n + 1))
     for r in range(1, m + 1):
         ca = a[r - 1]
