@@ -92,3 +92,39 @@ def test_heading_regex_and_allcaps():
         "A B C D E F G", True, True) or True  # 7 single-letter tokens
     assert not DocProofreader.is_heading("ONE TWO THREE FOUR FIVE SIX SEVEN",
                                          True, True)
+
+
+def test_dist_le2_matches_reference_levenshtein():
+    """dist_le2 (banded DP + closed forms for small stripped cores) must
+    equal a plain-DP Levenshtein clamped at 3, exhaustively over a small
+    alphabet plus random longer words — this pins the closed-form cases
+    ((1,1),(1,2),(2,2),(0,2),(1,3),(2,3),(2,4)) added for speed."""
+    import itertools
+    import random
+
+    from ocr_proofreader_spark.functions.rules import dist_le2
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, len(b) + 1):
+                cur = d[j]
+                d[j] = min(d[j] + 1, d[j - 1] + 1,
+                           prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return min(d[len(b)], 3)
+
+    strs = [""]
+    for L in range(1, 5):
+        strs += ["".join(p) for p in itertools.product("abc", repeat=L)]
+    for a in strs:
+        for b in strs:
+            assert dist_le2(a, b) == lev(a, b), (a, b)
+    rng = random.Random(7)
+    for _ in range(20000):
+        a = "".join(rng.choice("abcdef")
+                    for _ in range(rng.randint(3, 10)))
+        b = "".join(rng.choice("abcdef")
+                    for _ in range(rng.randint(3, 10)))
+        assert dist_le2(a, b) == lev(a, b), (a, b)
