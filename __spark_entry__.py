@@ -934,6 +934,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": lambda s, d: _range_join(s, d),
         "minhash_jaccard_estimate": lambda s, d:
             ops.minhash_jaccard_estimate(_t(s, d, "documents")),
+        # NATIVE session_window + watermark sessionizer (late-data-
+        # tolerant production form of sessionize_stream_closed)
+        "session_window_stream": lambda s, d: __import__(
+            "ocr_proofreader_spark.streaming.windowed",
+            fromlist=["session_window_stream"]).session_window_stream(
+                s, os.path.join(d, "events.parquet"),
+                max_files_per_trigger=1),
         # date-function surface: month truncation + year extraction over
         # order dates, grouped rollup
         "orders_monthly": lambda s, d: (
@@ -1023,6 +1030,38 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_exact,
                    true AS within_tol
             FROM (SELECT unnest({_TOKS}) AS word FROM documents)""",
+        # twin of streaming.windowed.session_window_stream: append-mode
+        # session_window emits a session once the watermark (max ts -
+        # delay) passes its end (last event + gap) — over a finite
+        # AvailableNow input that is exactly this filter on the batch
+        # sessionization rollup (emission rule empirically pinned)
+        "session_window_stream": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events),
+            m AS (
+              SELECT *, CASE WHEN prev_ts IS NULL THEN 1
+                             WHEN floor(epoch(ts)) - floor(epoch(prev_ts))
+                                  > 1800 THEN 1
+                             ELSE 0 END AS new_sess
+              FROM g),
+            s AS (
+              SELECT *, CAST(sum(new_sess) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sn
+              FROM m),
+            roll AS (
+              SELECT user_id, sn, count(*) AS n_events,
+                     CAST(min(floor(epoch(ts))) AS BIGINT) AS start_epoch,
+                     CAST(max(floor(epoch(ts))) AS BIGINT) AS end_epoch,
+                     round(sum(value), 3) AS total_value
+              FROM s GROUP BY user_id, sn),
+            mx AS (SELECT max(floor(epoch(ts))) AS m FROM events)
+            SELECT user_id, start_epoch, end_epoch, n_events, total_value
+            FROM roll, mx WHERE end_epoch + 1800 < m - 1800""",
         "orders_monthly": """
             SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
                    CAST(month(o_orderdate) AS BIGINT) AS mo,

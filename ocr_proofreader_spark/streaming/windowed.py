@@ -72,3 +72,46 @@ def windowed_counts_stream(spark: SparkSession, input_path: str,
          .start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def session_window_stream(spark, input_path: str,
+                          gap_minutes: int = 30,
+                          delay: str = "30 minutes",
+                          max_files_per_trigger: int | None = None):
+    """Gap sessionization via Spark's NATIVE ``session_window``
+    aggregation + watermark — the late-data-tolerant production form of
+    the applyInPandasWithState sessionizer (state merged/evicted by the
+    engine, out-of-order events within the watermark delay land in the
+    right session, no custom fold).
+
+    Append mode emits a session once the watermark passes its window
+    end (= last event + gap), so over a finite AvailableNow input the
+    output is exactly the sessions with ``last_event + gap <
+    max(ts) - delay`` — a SQL-expressible contract the DuckDB twin
+    recomputes (empirically pinned; see tests).  One stateful shuffle
+    on (user_id, window); state is O(open sessions)."""
+    from pyspark.sql import functions as F
+
+    from ocr_proofreader_spark.streaming.stateful import (
+        EVENTS_SCHEMA, as_stream_dir, run_to_scratch_parquet)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.parquet(as_stream_dir(input_path))
+    gap = f"{gap_minutes} minutes"
+    agg = (stream
+           .withWatermark("ts", delay)
+           .groupBy("user_id", F.session_window("ts", gap))
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 3).alias("total_value"))
+           .select("user_id",
+                   F.unix_timestamp("session_window.start")
+                   .alias("start_epoch"),
+                   # window end = last event + gap; report the LAST
+                   # EVENT epoch so rows line up with the batch
+                   # sessionizer's (start, end) convention
+                   (F.unix_timestamp("session_window.end")
+                    - gap_minutes * 60).alias("end_epoch"),
+                   "n_events", "total_value"))
+    return run_to_scratch_parquet(agg, spark, "session_window_")
