@@ -936,11 +936,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ops.minhash_jaccard_estimate(_t(s, d, "documents")),
         # NATIVE session_window + watermark sessionizer (late-data-
         # tolerant production form of sessionize_stream_closed)
-        "session_window_stream": lambda s, d: __import__(
-            "ocr_proofreader_spark.streaming.windowed",
-            fromlist=["session_window_stream"]).session_window_stream(
-                s, os.path.join(d, "events.parquet"),
-                max_files_per_trigger=1),
+        "session_window_stream": _session_window_stream,
         # date-function surface: month truncation + year extraction over
         # order dates, grouped rollup
         "orders_monthly": lambda s, d: (
@@ -981,6 +977,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_proofreader_spark.operators import relational as rel
     return rel.range_join_events(_t(spark, sf_dir, "events"))
+
+
+def _session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_proofreader_spark.streaming.windowed import \
+        session_window_stream
+    return session_window_stream(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        max_files_per_trigger=1)
 
 
 def extra_oracle_sql() -> dict[str, str]:
@@ -1032,9 +1036,12 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest({_TOKS}) AS word FROM documents)""",
         # twin of streaming.windowed.session_window_stream: append-mode
         # session_window emits a session once the watermark (max ts -
-        # delay) passes its end (last event + gap) — over a finite
-        # AvailableNow input that is exactly this filter on the batch
-        # sessionization rollup (emission rule empirically pinned)
+        # delay) REACHES its end (last event + gap; boundary INCLUSIVE —
+        # empirically pinned: a session whose end equals the final
+        # watermark is emitted) — over a finite AvailableNow input that
+        # is exactly this filter on the batch sessionization rollup.
+        # The operator floors timestamps to whole seconds, so the
+        # floored-epoch arithmetic here matches its gap rule exactly.
         "session_window_stream": """
             WITH g AS (
               SELECT user_id, event_id, ts, value,
@@ -1061,7 +1068,7 @@ def extra_oracle_sql() -> dict[str, str]:
               FROM s GROUP BY user_id, sn),
             mx AS (SELECT max(floor(epoch(ts))) AS m FROM events)
             SELECT user_id, start_epoch, end_epoch, n_events, total_value
-            FROM roll, mx WHERE end_epoch + 1800 < m - 1800""",
+            FROM roll, mx WHERE end_epoch + 1800 <= m - 1800""",
         "orders_monthly": """
             SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
                    CAST(month(o_orderdate) AS BIGINT) AS mo,

@@ -49,19 +49,11 @@ HEADING_RE = re.compile(r"^(CHAPTER|CHAPITRE|BOOK|PART)\b[A-Z0-9 .IVXLC-]*$")
 FS_SWAP = {"f": "s", "s": "f"}
 
 
-def char_mask(w: str) -> int:
-    """32-bit distinct-character signature.  a-z map injectively to bits
-    0..25; anything else hashes into the same 32-bit space (collisions
-    only weaken — never invalidate — the lower bound below)."""
-    m = 0
-    for c in w:
-        m |= 1 << ((ord(c) - 97) & 31)
-    return m
-
-
 def char_masks(w: str) -> tuple[int, int]:
     """Count-clamped character signature: (chars appearing >= 1,
-    chars appearing >= 2) as two 32-bit masks.  Per char c the pair
+    chars appearing >= 2) as two 32-bit masks.  a-z map injectively to
+    bits 0..25; anything else hashes into the same 32-bit space
+    (collisions only weaken — never invalidate — the bound).  Per char c the pair
     encodes min(count(c), 2), so
 
         popcount(a1 & ~b1) + popcount(a2 & ~b2)

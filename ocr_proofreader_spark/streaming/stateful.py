@@ -95,7 +95,10 @@ def run_to_scratch_parquet(stream_df: DataFrame, spark: SparkSession,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
-    return spark.read.parquet(out_path)
+    # schema from the streaming DataFrame: an append sink that emitted
+    # zero rows has no data files, and a bare read.parquet would raise
+    # UNABLE_TO_INFER_SCHEMA instead of returning an empty frame
+    return spark.read.schema(stream_df.schema).parquet(out_path)
 
 
 def _session_fold(gap_sec: int):

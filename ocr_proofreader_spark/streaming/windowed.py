@@ -16,13 +16,20 @@ multiple micro-batches and is pinned by tests/test_streaming.py.
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocr_proofreader_spark.streaming.stateful import (EVENTS_SCHEMA,
-                                                      as_stream_dir)
+from ocr_proofreader_spark.streaming.stateful import (
+    EVENTS_SCHEMA, as_stream_dir, run_to_scratch_parquet)
+
+
+def _event_stream(spark: SparkSession, input_path: str,
+                  max_files_per_trigger: int | None) -> DataFrame:
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    return reader.parquet(as_stream_dir(input_path))
 
 
 def windowed_counts_stream(spark: SparkSession, input_path: str,
@@ -40,11 +47,7 @@ def windowed_counts_stream(spark: SparkSession, input_path: str,
     watermark (the production late-data path; within one AvailableNow
     run the late-record filter uses the trigger's starting watermark,
     so cross-run restarts are where the drop is observable)."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger",
-                               str(max_files_per_trigger))
-    stream = reader.parquet(as_stream_dir(input_path))
+    stream = _event_stream(spark, input_path, max_files_per_trigger)
     agg = (stream
            .withWatermark("ts", f"{watermark_minutes} minutes")
            .groupBy(F.window("ts", f"{window_minutes} minutes"),
@@ -63,15 +66,7 @@ def windowed_counts_stream(spark: SparkSession, input_path: str,
              .start())
         q.awaitTermination()
         return spark.read.parquet(output_dir)
-    name = "windowed_counts_" + uuid.uuid4().hex[:12]
-    q = (agg.writeStream
-         .format("memory")
-         .queryName(name)
-         .outputMode("append")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return spark.table(name)
+    return run_to_scratch_parquet(agg, spark, "windowed_counts_")
 
 
 def session_window_stream(spark, input_path: str,
@@ -84,23 +79,21 @@ def session_window_stream(spark, input_path: str,
     engine, out-of-order events within the watermark delay land in the
     right session, no custom fold).
 
-    Append mode emits a session once the watermark passes its window
-    end (= last event + gap), so over a finite AvailableNow input the
-    output is exactly the sessions with ``last_event + gap <
-    max(ts) - delay`` — a SQL-expressible contract the DuckDB twin
-    recomputes (empirically pinned; see tests).  One stateful shuffle
-    on (user_id, window); state is O(open sessions)."""
-    from pyspark.sql import functions as F
-
-    from ocr_proofreader_spark.streaming.stateful import (
-        EVENTS_SCHEMA, as_stream_dir, run_to_scratch_parquet)
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger",
-                               str(max_files_per_trigger))
-    stream = reader.parquet(as_stream_dir(input_path))
+    Timestamps are floored to whole seconds BEFORE the aggregation so
+    the gap rule operates on epoch seconds exactly like the batch
+    sessionizer and its oracles (session_window otherwise compares raw
+    sub-second timestamps: a raw gap in (1800s, 1801s) would split here
+    and merge there).  Append mode emits a session once the watermark
+    reaches its window end (inclusive — empirically pinned: a session
+    whose end EQUALS the final watermark is emitted), so over a finite
+    AvailableNow input the output is exactly the sessions with
+    ``last_event + gap <= max(ts) - delay`` — the SQL-expressible
+    contract the DuckDB twin recomputes.  One stateful shuffle on
+    (user_id, window); state is O(open sessions)."""
+    stream = _event_stream(spark, input_path, max_files_per_trigger)
     gap = f"{gap_minutes} minutes"
     agg = (stream
+           .withColumn("ts", F.timestamp_seconds(F.unix_timestamp("ts")))
            .withWatermark("ts", delay)
            .groupBy("user_id", F.session_window("ts", gap))
            .agg(F.count("*").alias("n_events"),

@@ -309,3 +309,54 @@ def test_tws_stream_end_to_end(spark):
     out = user_totals_stream(spark, src, max_files_per_trigger=1)
     batch = (spark.read.parquet(src).groupBy("user_id").count())
     assert out.count() == batch.count()
+
+
+def test_session_window_stream_boundary_semantics(spark, tmp_path):
+    """Pins the two subtle rules of the native session_window operator:
+    (a) a session whose end + gap EQUALS the final watermark is emitted
+    (inclusive boundary — the oracle's <=), and (b) timestamps are
+    floored to seconds before the gap rule, so a raw gap in
+    (1800s, 1801s) whose floored diff is exactly 1800 MERGES like the
+    batch sessionizer, instead of splitting on raw sub-second time."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import types as T
+
+    from ocr_proofreader_spark.streaming.windowed import (
+        session_window_stream)
+
+    base = 1_700_000_000
+
+    def ts(sec):
+        return dt.datetime.fromtimestamp(
+            sec, dt.timezone.utc).replace(tzinfo=None)
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    rows = [
+        # user 1: end + gap == final watermark -> boundary emission
+        (1, ts(base), 1, "view", 1.0, "{}"),
+        # user 5: raw gap 1800.4s (raw rule would SPLIT) but floored
+        # diff exactly 1800 -> must MERGE into one open session
+        (4, ts(base + 0.2), 5, "view", 2.0, "{}"),
+        (5, ts(base + 1800.6), 5, "view", 3.0, "{}"),
+        # watermark driver: max ts = base + 3600
+        (9, ts(base + 3600.0), 9, "view", 9.9, "{}"),
+    ]
+    df = spark.createDataFrame(rows, schema=schema)
+    src = str(tmp_path / "ev_boundary")
+    df.coalesce(1).write.parquet(src)
+    out = session_window_stream(spark, src)
+    got = sorted((r.user_id, r.start_epoch, r.end_epoch, r.n_events)
+                 for r in out.collect())
+    # ONLY user 1's boundary session is closed; user 5 merged into one
+    # still-open session (a raw-time split would have emitted its first
+    # half), users 9 open
+    assert got == [(1, base, base, 1)]
