@@ -934,6 +934,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": lambda s, d: _range_join(s, d),
         "minhash_jaccard_estimate": lambda s, d:
             ops.minhash_jaccard_estimate(_t(s, d, "documents")),
+        "line_dedup_corpus": lambda s, d: ops.line_dedup_corpus(
+            _t(s, d, "documents")),
+        "unigram_logprob": lambda s, d: ops.unigram_logprob(
+            _t(s, d, "documents")),
         # NATIVE session_window + watermark sessionizer (late-data-
         # tolerant production form of sessionize_stream_closed)
         "session_window_stream": _session_window_stream,
@@ -1034,6 +1038,54 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_exact,
                    true AS within_tol
             FROM (SELECT unnest({_TOKS}) AS word FROM documents)""",
+        # twin of training_ops.line_dedup_corpus: same first-writer-wins
+        # rule via row_number over (doc_id, idx)
+        "line_dedup_corpus": """
+            WITH lines AS (
+              SELECT doc_id,
+                     unnest(range(0, len(ls))) AS idx,
+                     unnest(ls) AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                    FROM documents)),
+            kept AS (
+              SELECT doc_id, idx, line
+              FROM (SELECT doc_id, idx, line,
+                           row_number() OVER (PARTITION BY line
+                                              ORDER BY doc_id, idx) AS rk
+                    FROM lines)
+              WHERE rk = 1),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY idx)
+                         AS clean_text,
+                     count(*) AS n_lines_kept
+              FROM kept GROUP BY doc_id),
+            totals AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, chr(10))) AS BIGINT)
+                         AS n_lines
+              FROM documents)
+            SELECT t.doc_id,
+                   md5(coalesce(clean_text, '')) AS clean_digest,
+                   CAST(coalesce(n_lines_kept, 0) AS BIGINT)
+                       AS n_lines_kept,
+                   CAST(n_lines - coalesce(n_lines_kept, 0) AS BIGINT)
+                       AS n_lines_removed
+            FROM totals t LEFT JOIN rebuilt USING (doc_id)""",
+        # twin of training_ops.unigram_logprob: same corpus unigram
+        # model, floor(x*1e4) int64 scoring
+        "unigram_logprob": f"""
+            WITH words AS (
+              SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+            freq AS (SELECT word, count(*) AS freq FROM words
+                     GROUP BY word),
+            n AS (SELECT count(*) AS n_total FROM words)
+            SELECT doc_id,
+                   CAST(floor(sum(ln(CAST(n_total AS DOUBLE) / freq))
+                              * 10000) AS BIGINT) AS logprob_e4,
+                   count(*) AS n_tokens
+            FROM words JOIN freq USING (word) CROSS JOIN n
+            GROUP BY doc_id""",
         # twin of streaming.windowed.session_window_stream: append-mode
         # session_window emits a session once the watermark (max ts -
         # delay) REACHES its end (last event + gap; boundary INCLUSIVE —

@@ -231,6 +231,73 @@ def minhash_jaccard_estimate(docs: DataFrame, bands: int = 16,
                 (F.col("mae") <= tol).alias("mae_floor_met")))
 
 
+def line_dedup_corpus(docs: DataFrame) -> DataFrame:
+    """Corpus-wide duplicate-LINE removal (the C4 pipeline step): every
+    line that already occurred anywhere in the corpus — ordered by
+    (doc_id, line index), the deterministic 'first writer wins' rule —
+    is dropped; docs are reassembled from their surviving lines.
+
+    Plan: explode to (doc_id, idx, line) -> one window over the line
+    hash ordered by (doc_id, idx) keeps rank-1 occurrences -> regroup
+    per doc with an index-sorted array rebuild.  Two shuffles (line
+    hash; doc regroup), both partial-agg-friendly; no UDF.  Emits a
+    digest of the cleaned text plus kept/removed counts so the result
+    is scalar-hashable by the driver canonicalizer."""
+    lines = (docs
+             .select("doc_id",
+                     F.posexplode(F.split("text", "\n"))
+                     .alias("idx", "line")))
+    w = Window.partitionBy("line").orderBy("doc_id", "idx")
+    kept = (lines
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1))
+    rebuilt = (kept
+               .groupBy("doc_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("idx", "line"))),
+                       lambda t: t["line"]), "\n").alias("clean_text"),
+                   F.count("*").alias("n_lines_kept")))
+    totals = docs.select(
+        "doc_id",
+        F.expr("size(split(text, '\\n'))").cast("long").alias("n_lines"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.md5(F.coalesce("clean_text", F.lit("")))
+                    .alias("clean_digest"),
+                    F.coalesce("n_lines_kept", F.lit(0)).cast("long")
+                    .alias("n_lines_kept"),
+                    (F.col("n_lines")
+                     - F.coalesce("n_lines_kept", F.lit(0)))
+                    .cast("long").alias("n_lines_removed")))
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Unigram language-model quality score (the KenLM-proxy filter of
+    training pipelines): per doc, sum over tokens of ln(N / freq(w))
+    where freq is the corpus unigram count and N the corpus token
+    total — higher = more surprising/rare text.  Reported as
+    floor(x * 1e4) int64 (engine-portable; see tfidf_top_terms).
+
+    Plan: token explode -> corpus freq agg (partial+final) -> re-join
+    tokens to freqs on word (shuffle hash join; the freq side is
+    vocabulary-sized) -> per-doc sum.  At 100 TB the freq table is a
+    broadcast candidate (vocabularies are millions of rows, not
+    billions)."""
+    words = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("word"))
+    freq = words.groupBy("word").agg(F.count("*").alias("freq"))
+    n_total = words.agg(F.count("*").alias("n_total"))
+    return (words
+            .join(freq, "word")
+            .crossJoin(F.broadcast(n_total))
+            .groupBy("doc_id")
+            .agg(F.floor(F.sum(F.log(F.col("n_total")
+                                     / F.col("freq"))) * 10000)
+                 .cast("long").alias("logprob_e4"),
+                 F.count("*").alias("n_tokens")))
+
+
 def distinct_token_sketch(docs: DataFrame, rsd: float = 0.02,
                           tol: float = 0.05) -> DataFrame:
     """Sketch-vs-exact gate for vocabulary size: HyperLogLog++
