@@ -936,6 +936,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ops.minhash_jaccard_estimate(_t(s, d, "documents")),
         "line_dedup_corpus": lambda s, d: ops.line_dedup_corpus(
             _t(s, d, "documents")),
+        "lang_id_ngram": lambda s, d: ops.lang_id_ngram(
+            _t(s, d, "documents")),
         "unigram_logprob": lambda s, d: ops.unigram_logprob(
             _t(s, d, "documents")),
         # NATIVE session_window + watermark sessionizer (late-data-
@@ -1072,6 +1074,23 @@ def extra_oracle_sql() -> dict[str, str]:
                    CAST(n_lines - coalesce(n_lines_kept, 0) AS BIGINT)
                        AS n_lines_removed
             FROM totals t LEFT JOIN rebuilt USING (doc_id)""",
+        # twin of training_ops.lang_id_ngram: same trigram profiles via
+        # the identical length-difference occurrence count
+        "lang_id_ngram": ("""
+            SELECT doc_id, {en} AS en_score, {fr} AS fr_score,
+                   CASE WHEN {fr} > {en} THEN 'fr' ELSE 'en' END
+                       AS lang_guess
+            FROM documents""".format(
+            en=" + ".join(
+                f"CAST((length(lower(text)) - length(replace("
+                f"lower(text), '{g}', ''))) / 3 AS BIGINT)"
+                for g in ("the", "and", "ing", "ion", "tio", "hat",
+                          "ith")),
+            fr=" + ".join(
+                f"CAST((length(lower(text)) - length(replace("
+                f"lower(text), '{g}', ''))) / 3 AS BIGINT)"
+                for g in ("les", "ent", "que", "des", "ait", "eur",
+                          "ois")))),
         # twin of training_ops.unigram_logprob: same corpus unigram
         # model, floor(x*1e4) int64 scoring
         "unigram_logprob": f"""
