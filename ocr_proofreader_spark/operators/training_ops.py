@@ -244,7 +244,12 @@ def lang_id_ngram(docs: DataFrame) -> DataFrame:
     occurrences of each language's profile trigrams via the
     length-difference trick (no explode, no UDF, pure JVM string ops)
     and pick the higher score, ties to 'en'.  Integer scores stay
-    bit-portable."""
+    bit-portable.
+
+    NOTE on the driver corpus: its ``lang`` labels are uncorrelated
+    with the (English-wordlist) synthetic text, so no classifier can
+    score meaningfully there — the verified contract is the mechanism
+    (deterministic trigram counting), not label accuracy."""
     def score(grams):
         lower = F.lower("text")
         total = None
