@@ -1092,16 +1092,18 @@ def extra_oracle_sql() -> dict[str, str]:
                 for g in ("les", "ent", "que", "des", "ait", "eur",
                           "ois")))),
         # twin of training_ops.unigram_logprob: same corpus unigram
-        # model, floor(x*1e4) int64 scoring
+        # model; per-TOKEN floor(1e4*ln) int64s summed, so the verified
+        # field is an order-independent integer sum on both engines
         "unigram_logprob": f"""
             WITH words AS (
               SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
             freq AS (SELECT word, count(*) AS freq FROM words
                      GROUP BY word),
-            n AS (SELECT count(*) AS n_total FROM words)
+            n AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM freq)
             SELECT doc_id,
-                   CAST(floor(sum(ln(CAST(n_total AS DOUBLE) / freq))
-                              * 10000) AS BIGINT) AS logprob_e4,
+                   CAST(sum(CAST(floor(ln(CAST(n_total AS DOUBLE)
+                                          / freq) * 10000) AS BIGINT))
+                        AS BIGINT) AS logprob_e4,
                    count(*) AS n_tokens
             FROM words JOIN freq USING (word) CROSS JOIN n
             GROUP BY doc_id""",

@@ -273,9 +273,9 @@ def line_dedup_corpus(docs: DataFrame) -> DataFrame:
     (doc_id, line index), the deterministic 'first writer wins' rule —
     is dropped; docs are reassembled from their surviving lines.
 
-    Plan: explode to (doc_id, idx, line) -> one window over the line
-    hash ordered by (doc_id, idx) keeps rank-1 occurrences -> regroup
-    per doc with an index-sorted array rebuild.  Two shuffles (line
+    Plan: explode to (doc_id, idx, line) -> one window keyed on the
+    line value ordered by (doc_id, idx) keeps rank-1 occurrences ->
+    regroup per doc with an index-sorted array rebuild.  Two shuffles (line
     hash; doc regroup), both partial-agg-friendly; no UDF.  Emits a
     digest of the cleaned text plus kept/removed counts so the result
     is scalar-hashable by the driver canonicalizer."""
@@ -311,26 +311,31 @@ def line_dedup_corpus(docs: DataFrame) -> DataFrame:
 
 def unigram_logprob(docs: DataFrame) -> DataFrame:
     """Unigram language-model quality score (the KenLM-proxy filter of
-    training pipelines): per doc, sum over tokens of ln(N / freq(w))
-    where freq is the corpus unigram count and N the corpus token
-    total — higher = more surprising/rare text.  Reported as
-    floor(x * 1e4) int64 (engine-portable; see tfidf_top_terms).
+    training pipelines): per doc, sum over tokens of the PER-TOKEN
+    score floor(1e4 * ln(N / freq(w))) — freq is the corpus unigram
+    count, N the corpus token total; higher = more surprising/rare
+    text.  Flooring at the token level (single ln per value, the
+    tfidf_top_terms precedent) makes the verified field a SUM OF
+    INTEGERS — order-independent, so Spark's partial-agg merge order
+    and libm-vs-DuckDB ln ulps cannot flip the digest the way flooring
+    an order-dependent double sum could.
 
     Plan: token explode -> corpus freq agg (partial+final) -> re-join
     tokens to freqs on word (shuffle hash join; the freq side is
-    vocabulary-sized) -> per-doc sum.  At 100 TB the freq table is a
-    broadcast candidate (vocabularies are millions of rows, not
-    billions)."""
+    vocabulary-sized) -> per-doc integer sum.  N comes from
+    sum(freq) over the vocabulary-sized freq table, not a second
+    corpus scan.  At 100 TB the freq table is a broadcast candidate
+    (vocabularies are millions of rows, not billions)."""
     words = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("word"))
     freq = words.groupBy("word").agg(F.count("*").alias("freq"))
-    n_total = words.agg(F.count("*").alias("n_total"))
+    n_total = freq.agg(F.sum("freq").alias("n_total"))
     return (words
             .join(freq, "word")
             .crossJoin(F.broadcast(n_total))
             .groupBy("doc_id")
-            .agg(F.floor(F.sum(F.log(F.col("n_total")
-                                     / F.col("freq"))) * 10000)
-                 .cast("long").alias("logprob_e4"),
+            .agg(F.sum(F.floor(F.log(F.col("n_total") / F.col("freq"))
+                               * 10000).cast("long"))
+                 .alias("logprob_e4"),
                  F.count("*").alias("n_tokens")))
 
 

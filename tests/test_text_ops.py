@@ -53,3 +53,45 @@ def test_quality_metrics_counts(spark, docs):
     assert r["n_punct"] == 4                 # one each of . , ! ?
     assert r["n_chars"] == len("Stop. Really, stop! Why?")
     assert out[3]["n_punct"] == 0
+
+
+def test_line_dedup_corpus_on_multiline_duplicates(spark):
+    """The driver fixture has zero newlines and zero duplicate lines,
+    so this crafted corpus exercises the real path: cross-doc duplicate
+    lines drop (first writer by (doc_id, idx) wins), within-doc order
+    is preserved through the window + index-sorted rebuild, and an
+    all-duplicate doc degenerates to the empty digest."""
+    import hashlib
+
+    from ocr_proofreader_spark.operators.training_ops import \
+        line_dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(0, "alpha\nshared\nbeta"),
+         (1, "shared\ngamma"),        # 'shared' already owned by doc 0
+         (2, "shared"),               # entire doc is duplicates
+         (3, "alpha\nalpha\ndelta")], # within-corpus dup of doc 0 + self
+        "doc_id long, text string")
+    got = {r.doc_id: (r.clean_digest, r.n_lines_kept, r.n_lines_removed)
+           for r in line_dedup_corpus(docs).collect()}
+
+    def d(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got[0] == (d("alpha\nshared\nbeta"), 3, 0)
+    assert got[1] == (d("gamma"), 1, 1)
+    assert got[2] == (d(""), 0, 1)
+    assert got[3] == (d("delta"), 1, 2)
+
+    # and the DuckDB twin agrees on this corpus too
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in [(0, "alpha\nshared\nbeta"), (1, "shared\ngamma"),
+                 (2, "shared"), (3, "alpha\nalpha\ndelta")]:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    orc = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
+        entrymod.extra_oracle_sql()["line_dedup_corpus"]).fetchall()}
+    assert orc == got
