@@ -95,3 +95,38 @@ def test_line_dedup_corpus_on_multiline_duplicates(spark):
     orc = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
         entrymod.extra_oracle_sql()["line_dedup_corpus"]).fetchall()}
     assert orc == got
+
+
+def test_line_dedup_corpus_idempotent(spark):
+    """Fixpoint property: running line dedup over an already-deduped
+    corpus removes nothing (every surviving line is unique by
+    construction)."""
+    from pyspark.sql import functions as F
+
+    from ocr_proofreader_spark.operators.training_ops import \
+        line_dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(0, "alpha\nshared\nbeta"), (1, "shared\ngamma"),
+         (2, "shared"), (3, "alpha\nalpha\ndelta")],
+        "doc_id long, text string")
+    # reconstruct the cleaned texts, then re-run the operator on them
+    first = line_dedup_corpus(docs)
+    lines = (docs.select("doc_id",
+                         F.posexplode(F.split("text", "\n"))
+                         .alias("idx", "line")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("line").orderBy("doc_id", "idx")
+    clean = (lines.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") == 1)
+             .groupBy("doc_id")
+             .agg(F.array_join(F.transform(
+                 F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                 lambda t: t["line"]), "\n").alias("text")))
+    second = line_dedup_corpus(clean)
+    assert {(r.doc_id, r.n_lines_removed)
+            for r in second.collect()} == {(0, 0), (1, 0), (3, 0)}
+    d1 = {r.doc_id: r.clean_digest for r in first.collect()}
+    d2 = {r.doc_id: r.clean_digest for r in second.collect()}
+    for k in d2:
+        assert d2[k] == d1[k]
