@@ -273,20 +273,31 @@ def line_dedup_corpus(docs: DataFrame) -> DataFrame:
     (doc_id, line index), the deterministic 'first writer wins' rule —
     is dropped; docs are reassembled from their surviving lines.
 
-    Plan: explode to (doc_id, idx, line) -> one window keyed on the
-    line value ordered by (doc_id, idx) keeps rank-1 occurrences ->
-    regroup per doc with an index-sorted array rebuild.  Two shuffles (line
-    hash; doc regroup), both partial-agg-friendly; no UDF.  Emits a
-    digest of the cleaned text plus kept/removed counts so the result
-    is scalar-hashable by the driver canonicalizer."""
+    Plan: explode to (doc_id, idx, line) ->
+    ``groupBy(line).agg(min(struct(doc_id, idx)))`` selects the
+    first-writer occurrence of every line (struct comparison is
+    lexicographic over (doc_id, idx), exactly the old window's order),
+    and the aggregate's output row IS the kept occurrence — no window,
+    no re-join.  Unlike ``Window.partitionBy(line)`` + ``row_number``
+    (which drags every copy of a 10^9-occurrence boilerplate line into
+    ONE partition with no map-side reduction — a single straggler task
+    at C4 scale), the aggregate gets a partial+final split: each map
+    task pre-reduces its copies of a hot line to one candidate row, so
+    the shuffle carries O(#map-tasks) rows per line value, not
+    O(#occurrences).  Two shuffles total (line agg; doc regroup), both
+    partial-agg-friendly; no UDF.  Emits a digest of the cleaned text
+    plus kept/removed counts so the result is scalar-hashable by the
+    driver canonicalizer."""
     lines = (docs
              .select("doc_id",
                      F.posexplode(F.split("text", "\n"))
                      .alias("idx", "line")))
-    w = Window.partitionBy("line").orderBy("doc_id", "idx")
     kept = (lines
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1))
+            .groupBy("line")
+            .agg(F.min(F.struct("doc_id", "idx")).alias("first"))
+            .select(F.col("first.doc_id").alias("doc_id"),
+                    F.col("first.idx").alias("idx"),
+                    "line"))
     rebuilt = (kept
                .groupBy("doc_id")
                .agg(F.array_join(
@@ -320,17 +331,20 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     and libm-vs-DuckDB ln ulps cannot flip the digest the way flooring
     an order-dependent double sum could.
 
-    Plan: token explode -> corpus freq agg (partial+final) -> re-join
-    tokens to freqs on word (shuffle hash join; the freq side is
-    vocabulary-sized) -> per-doc integer sum.  N comes from
-    sum(freq) over the vocabulary-sized freq table, not a second
-    corpus scan.  At 100 TB the freq table is a broadcast candidate
-    (vocabularies are millions of rows, not billions)."""
+    Plan: token explode -> corpus freq agg (partial+final) -> BROADCAST
+    hash join of tokens to freqs on word -> per-doc integer sum.  The
+    freq side is vocabulary-sized by construction (Heaps' law:
+    millions of rows at 100 TB, not billions), so broadcasting it
+    keeps the token stream in place — crucially there is NO shuffle on
+    ``word``, whose Zipf distribution ("the" at 10^12 docs) would
+    otherwise make the join's hot keys straggle.  N comes from
+    sum(freq) over the same vocabulary-sized table, not a second
+    corpus scan."""
     words = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("word"))
     freq = words.groupBy("word").agg(F.count("*").alias("freq"))
     n_total = freq.agg(F.sum("freq").alias("n_total"))
     return (words
-            .join(freq, "word")
+            .join(F.broadcast(freq), "word")
             .crossJoin(F.broadcast(n_total))
             .groupBy("doc_id")
             .agg(F.sum(F.floor(F.log(F.col("n_total") / F.col("freq"))
