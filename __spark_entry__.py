@@ -929,6 +929,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")),
         "token_count_bpe": lambda s, d: ops.token_count_bpe(
             _t(s, d, "documents")),
+        "token_count_bpe_merged": lambda s, d: ops.token_count_bpe_merged(
+            _t(s, d, "documents")),
         "distinct_token_sketch": lambda s, d: ops.distinct_token_sketch(
             _t(s, d, "documents")),
         "range_join": lambda s, d: _range_join(s, d),
@@ -994,8 +996,10 @@ def _session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def extra_oracle_sql() -> dict[str, str]:
-    from ocr_proofreader_spark.operators.training_ops import BPE_PATTERN
+    from ocr_proofreader_spark.operators.training_ops import (
+        BPE_PATTERN, bpe_seg_count_expr)
     bpe_pat = BPE_PATTERN.replace("'", "''")
+    _BPE_SEG_DUCK = bpe_seg_count_expr("s", "duckdb")
     return {
         # twin of training_ops.repetition_metrics (Gopher/C4 repetition
         # signals): same 2-gram definition, integer counts throughout
@@ -1027,6 +1031,17 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '{bpe_pat}'))
                         AS BIGINT) AS n_bpe_tokens
+            FROM documents""",
+        # twin of training_ops.token_count_bpe_merged: the SAME greedy
+        # rank-ordered merge algorithm, emitted for DuckDB's dialect by
+        # the same expression builder (separator-wrapped chars, one
+        # left-to-right replace per merge)
+        "token_count_bpe_merged": f"""
+            SELECT doc_id,
+                   CAST(coalesce(list_sum(
+                       [{_BPE_SEG_DUCK} for s in
+                        regexp_extract_all(text, '{bpe_pat}')]), 0)
+                        AS BIGINT) AS n_bpe_merged
             FROM documents""",
         "doc_fingerprint": r"""
             SELECT doc_id,

@@ -197,6 +197,71 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
         .cast("long").alias("n_bpe_tokens"))
 
 
+# Deterministic BPE merges table, rank-ordered; each operand is a base
+# character or an earlier merge's product (the validity invariant of
+# learned BPE tables).  A production build learns this from corpus pair
+# counts; freezing a small English-biased table keeps every run
+# bit-identical, which the resume protocol relies on.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"), ("o", "u"),
+    ("e", "n"), ("a", "t"), ("s", "t"), ("e", "s"), ("o", "r"),
+    ("l", "l"),
+)
+
+# unit separator — absent from any text corpus this engine ingests (a
+# production build would escape it in a pre-pass)
+BPE_SEP = "\x1f"
+
+
+def bpe_seg_count_expr(var: str, dialect: str = "spark") -> str:
+    """SQL expression for the post-merge BPE token count of ONE
+    pre-tokenizer segment ``var``.
+
+    The segment's characters are each wrapped ``sep C sep`` and
+    concatenated, so applying merge (a, b) is ONE left-to-right
+    non-overlapping ``replace`` of ``sep a sep sep b sep`` with
+    ``sep ab sep`` — exactly exhaustive leftmost merging: a rule's
+    application can never create a new occurrence of its own pair
+    (ab != a and ab != b by length), and each replacement restores the
+    full wrapper so back-to-back occurrences all match.  Applying the
+    merges in rank order is then the standard (Sennrich) BPE
+    application.  The count is the number of ``sep sep`` boundaries
+    plus one, read off with a split.
+
+    Emitted for either engine (``dialect`` 'spark' | 'duckdb') from
+    the same merge table, so the two sides run the identical algorithm
+    — all JVM-side string built-ins on the Spark side, no Python."""
+    s = BPE_SEP
+    if dialect == "spark":
+        e = f"concat('{s}', array_join(split({var}, ''), '{s}{s}'), '{s}')"
+    else:
+        e = (f"('{s}' || array_to_string(string_split({var}, ''),"
+             f" '{s}{s}') || '{s}')")
+    for a, b in BPE_MERGES:
+        e = f"replace({e}, '{s}{a}{s}{s}{b}{s}', '{s}{a}{b}{s}')"
+    if dialect == "spark":
+        return f"size(split({e}, '{s}{s}'))"
+    return f"len(string_split({e}, '{s}{s}'))"
+
+
+def token_count_bpe_merged(docs: DataFrame) -> DataFrame:
+    """REAL BPE token count: pre-tokenize with ``BPE_PATTERN``, then
+    apply the rank-ordered ``BPE_MERGES`` greedily inside each segment
+    and count the resulting sub-word tokens.  Unlike
+    :func:`token_count_bpe` (segment count only — an upper bound) this
+    is an actual tokenizer cost.  One JVM-side projection: per-segment
+    merge-and-count via higher-order ``transform`` + ``aggregate``, no
+    shuffle, no UDF — the plan is a pure map stage at any scale."""
+    pat = BPE_PATTERN.replace("\\", "\\\\").replace("'", "\\'")
+    seg = bpe_seg_count_expr("s", "spark")
+    return docs.select(
+        "doc_id",
+        F.expr(f"aggregate(transform(regexp_extract_all(text, '{pat}', 0),"
+               f" s -> {seg}), 0L, (acc, v) -> acc + v)")
+        .cast("long").alias("n_bpe_merged"))
+
+
 def minhash_jaccard_estimate(docs: DataFrame, bands: int = 16,
                              max_doc: int = 100,
                              tol: float = 0.2) -> DataFrame:

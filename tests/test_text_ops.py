@@ -130,3 +130,81 @@ def test_line_dedup_corpus_idempotent(spark):
     d2 = {r.doc_id: r.clean_digest for r in second.collect()}
     for k in d2:
         assert d2[k] == d1[k]
+
+
+def _bpe_ref_count(text):
+    """Pure-Python reference BPE: pre-tokenize, then apply each merge in
+    rank order as one left-to-right non-overlapping pass (= exhaustive
+    leftmost merging; see bpe_seg_count_expr's docstring)."""
+    import re
+
+    from ocr_proofreader_spark.operators.training_ops import (BPE_MERGES,
+                                                              BPE_PATTERN)
+    total = 0
+    for seg in re.findall(BPE_PATTERN, text):
+        toks = list(seg)
+        for a, b in BPE_MERGES:
+            out, i = [], 0
+            while i < len(toks):
+                if (i + 1 < len(toks) and toks[i] == a
+                        and toks[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        total += len(toks)
+    return total
+
+
+def test_bpe_merged_golden_and_ref_parity(spark):
+    """Hand-computed merge sequences plus a pure-Python twin sweep: the
+    JVM-side separator-replace implementation must equal real greedy
+    BPE application on every case (back-to-back pairs, cascading
+    merges, unicode, punctuation, whitespace runs)."""
+    from ocr_proofreader_spark.operators.training_ops import \
+        token_count_bpe_merged
+
+    # "the" -> t h e -> th e -> the : 1 token.  " the" pre-tokenizes as
+    # one segment " the" whose chars are [' ', t, h, e] -> [' ', the].
+    cases = [
+        (0, "the"),            # cascade (t,h) then (th,e)
+        (1, "thethe"),         # the|the = 2
+        (2, "aaa and sting"),  # 'and' cascade, 'sting' -> s t ing? no:
+                               # s,t,i,n,g: (i,n)->in, (in,g)->ing,
+                               # (s,t)->st => st|ing = 2
+        (3, "ererer"),         # (e,r) back-to-back = er|er|er = 3
+        (4, "déjà—vu 123"),    # unicode chars untouched by merges
+        (5, "  \n\t  "),       # whitespace-run segment
+        (6, ""),               # empty text -> 0
+        (7, "llll"),           # (l,l) leftmost pairs = ll|ll = 2
+    ]
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_bpe_merged"]
+           for r in token_count_bpe_merged(docs).collect()}
+    # hand-derived expectations
+    assert out[0] == 1          # "the"
+    assert out[1] == 2          # the|the
+    assert out[3] == 3          # er|er|er
+    assert out[6] == 0
+    assert out[7] == 2          # ll|ll
+    for doc_id, text in cases:
+        assert out[doc_id] == _bpe_ref_count(text), (doc_id, text)
+
+
+def test_bpe_merged_hypothesis_vs_ref(spark):
+    """Property sweep: random short texts over an alphabet that excites
+    every merge rule agree with the pure-Python reference."""
+    import random
+    rng = random.Random(1234)
+    alphabet = "theandingoures tl\n .,!x"
+    cases = [(i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))))
+             for i in range(60)]
+    from ocr_proofreader_spark.operators.training_ops import \
+        token_count_bpe_merged
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_bpe_merged"]
+           for r in token_count_bpe_merged(docs).collect()}
+    for doc_id, text in cases:
+        assert out[doc_id] == _bpe_ref_count(text), (doc_id, repr(text))
