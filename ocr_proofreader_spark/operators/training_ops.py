@@ -811,16 +811,55 @@ def embedding_near_dup_lsh(emb: DataFrame, threshold: float = 0.40,
                     (F.round("c", 3) + F.lit(0.0)).alias("cosine")))
 
 
-def _ivf_centroids(emb: DataFrame, n_cells: int) -> np.ndarray:
-    """Deterministic coarse-quantizer centroids: the embeddings of the
-    n_cells smallest vec_ids, L2-normalized (FAISS-style sample init; a
-    production build would refine with k-means sweeps, withheld here so
-    every run is bit-identical, which the resume protocol relies on)."""
+_LLOYD_SCALE = 1 << 20   # fixed-point scale for exact distributed sums
+
+
+def _ivf_centroids(emb: DataFrame, n_cells: int,
+                   sweeps: int = 2) -> np.ndarray:
+    """Deterministic coarse-quantizer centroids: FAISS-style sample
+    init (the embeddings of the n_cells smallest vec_ids, L2-
+    normalized) refined by ``sweeps`` fixed-iteration Lloyd passes.
+
+    Every sweep is bit-reproducible — the property the resume protocol
+    relies on — because the per-cell mean is computed from FIXED-POINT
+    integer sums: each component is floored to ``v * 2^20`` long
+    before the ``groupBy(cell, dim).sum()``, so the aggregate is exact
+    integer addition and immune to Spark's partition/merge order
+    (a double sum would drift by ulps run-to-run and could flip a
+    near-tie argmax assignment).  Headroom: 2^63 / 2^20 ≈ 8.8e18/1e6 —
+    ~10^12 unit-scale components per (cell, dim) before overflow,
+    beyond any single cell at target scale.
+
+    Driver traffic stays bounded: one n_cells-row init collect plus
+    one n_cells x dim fixed-point-sum collect per sweep (16 x dim
+    rows), pinned by tests/test_embedding_ops.py.  Empty cells keep
+    their previous centroid (the standard Lloyd convention)."""
     cents = (emb.orderBy("vec_id").limit(n_cells)
              .select("embedding").collect())
     C = np.stack([np.asarray(row["embedding"], dtype=np.float64)
                   for row in cents])
-    return C / np.linalg.norm(C, axis=1, keepdims=True)
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    for _ in range(sweeps):
+        assigned = ivf_assign(emb, n_cells, centroids=C)
+        rows = (assigned
+                .select("cell", F.posexplode("embedding")
+                        .alias("dim", "v"))
+                .groupBy("cell", "dim")
+                .agg(F.sum(F.floor(F.col("v").cast("double")
+                                   * _LLOYD_SCALE).cast("long"))
+                     .alias("s"),
+                     F.count("*").alias("n"))
+                .collect())
+        acc = np.zeros_like(C)
+        cnt = np.zeros(n_cells, dtype=np.int64)
+        for r in rows:
+            acc[r["cell"], r["dim"]] = r["s"] / _LLOYD_SCALE
+            cnt[r["cell"]] = r["n"]
+        newC = C.copy()
+        nonempty = cnt > 0
+        newC[nonempty] = acc[nonempty] / cnt[nonempty, None]
+        C = newC / np.linalg.norm(newC, axis=1, keepdims=True)
+    return C
 
 
 def ivf_assign(emb: DataFrame, n_cells: int = 16,

@@ -108,3 +108,43 @@ def test_ann_ivf_probes_fewer_rows(spark, emb):
     # every cell id the reranker reports is one of the probed cells
     cells = {r["cell"] for r in ops.ann_topk_ivf(emb, k=10).collect()}
     assert cells <= set(probe)
+
+
+def test_ivf_lloyd_refinement_deterministic_and_bounded(spark, emb):
+    """Lloyd-refined centroids must be (a) bit-identical across input
+    partitionings — the fixed-point integer sums make the per-cell
+    mean merge-order-independent — and (b) bounded in driver traffic:
+    exactly 1 + sweeps collects, each at most n_cells x dim rows."""
+    import numpy as np
+
+    from ocr_proofreader_spark.operators import training_ops as ops
+
+    cls = type(emb)           # the concrete (classic) DataFrame class
+    calls = []
+    orig = cls.collect
+
+    def counting(self):
+        rows = orig(self)
+        calls.append(len(rows))
+        return rows
+
+    cls.collect = counting
+    try:
+        C1 = ops._ivf_centroids(emb, n_cells=16, sweeps=2)
+        n_collects = len(calls)
+        sizes = list(calls)
+    finally:
+        cls.collect = orig
+    assert n_collects == 3                     # init + one per sweep
+    dim = C1.shape[1]
+    assert sizes[0] == 16
+    assert all(s <= 16 * dim for s in sizes[1:])
+
+    C2 = ops._ivf_centroids(emb.repartition(7), 16, sweeps=2)
+    assert (C1 == C2).all()                    # bit-identical, not close
+
+    # refinement moved centroids off the raw sample init
+    C0 = ops._ivf_centroids(emb, 16, sweeps=0)
+    assert not (C1 == C0).all()
+    # and every refined centroid stays unit-norm
+    assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)
