@@ -579,15 +579,17 @@ def dedup_clusters(docs: DataFrame, bands: int = 4,
     the per-component min, which the recursive-CTE DuckDB twin
     recomputes independently).  Per-round ``localCheckpoint`` truncates
     the growing lineage so the plan stays O(1) per iteration at any
-    scale.  Deterministic (min-label is order-independent), like every
-    op the resume protocol replays."""
+    scale; convergence is probed every other round only (half the
+    check jobs — one extra no-op round past the fixpoint at worst,
+    same result).  Deterministic (min-label is order-independent),
+    like every op the resume protocol replays."""
     pairs = minhash_candidates(docs, bands, max_bucket)
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
     edges = edges.localCheckpoint(eager=True)
     labels = docs.select(F.col("doc_id").alias("node"),
                          F.col("doc_id").alias("label"))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (edges.join(labels, edges.d2 == labels.node)
                .groupBy("d1").agg(F.min("label").alias("nbr_label")))
         stepped = (labels.join(nbr, labels.node == nbr.d1, "left")
@@ -602,12 +604,29 @@ def dedup_clusters(docs: DataFrame, bands: int = 4,
                               F.least(stepped.label, F.col("llabel"))
                               .alias("label"))
                       .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
-        if changed == 0:
-            break
+        # Convergence is checked only every OTHER round, halving the
+        # check jobs (each is an agg over a broadcast join of two
+        # cached checkpoint leaves): detection can arrive one round
+        # late, but iterating once past the fixpoint is a no-op, so
+        # results are identical.  The check stays a SEPARATE query
+        # after the checkpoint ON PURPOSE — folding the
+        # labels-vs-new_labels join into the frame being checkpointed
+        # (with the changed flag as a column) looks cheaper but sends
+        # the JVM's toRdd planning time exponential (~4x per round,
+        # measured; lazy localCheckpoint likewise never truncates when
+        # materialized through a derived query).  Do not refold.
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "node")
+                       .select((F.col("n.label") != F.col("o.label"))
+                               .cast("long").alias("chg"))
+                       .agg(F.sum("chg")).first()[0]
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster"),
                          (F.col("node") == F.col("label"))

@@ -63,3 +63,38 @@ def test_clusters_keeper_and_determinism(spark, docs):
                                                       for r in rows)
     again = ops.dedup_clusters(docs.repartition(7)).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_clusters_convergence_checks_halved(spark, docs):
+    """The convergence check runs every OTHER round only: at most
+    ceil(rounds / 2) changed-count actions (first() calls), .count()
+    never called — the round-3 shape paid one count() job per round.
+    (The check must stay a separate post-checkpoint query: folding it
+    into the checkpointed frame sends JVM toRdd planning exponential —
+    see the operator's in-code note.)"""
+    from ocr_proofreader_spark.operators import training_ops as ops
+
+    cls = type(docs)
+    actions = {"count": 0, "first": 0, "collect": 0}
+    orig = {k: getattr(cls, k) for k in actions}
+
+    def wrap(name):
+        def inner(self, *a, **kw):
+            actions[name] += 1
+            return orig[name](self, *a, **kw)
+        return inner
+
+    for k in actions:
+        setattr(cls, k, wrap(k))
+    try:
+        ops.dedup_clusters(docs).collect()
+    finally:
+        for k, v in orig.items():
+            setattr(cls, k, v)
+    assert actions["count"] == 0
+    # sf0.001 converges in ~16 propagation rounds; every-other-round
+    # probing must need at most half that many check actions (+1 for
+    # the final converged probe).  first() routes through collect()
+    # internally, so collect = checks + the one result read.
+    assert 1 <= actions["first"] <= 9
+    assert actions["collect"] == actions["first"] + 1
