@@ -962,6 +962,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("event_type",
                     F.from_json("props", "map<string,bigint>")
                     .alias("m"))
+            # rows whose props fail to parse as a JSON object yield a
+            # NULL map — drop them so the contract is corpus-
+            # independent (the twin mirrors with json_valid +
+            # json_type = OBJECT; ADVICE r03)
+            .filter(F.col("m").isNotNull())
             .select("event_type",
                     F.element_at("m", "k").alias("kval"),
                     F.size(F.map_keys("m")).cast("long").alias("n_keys"))
@@ -1164,13 +1169,17 @@ def extra_oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS revenue
             FROM orders GROUP BY 1, 2""",
         # twin of events_map_agg: DuckDB json functions recompute the
-        # same map-derived values (json_keys ~ map_keys)
+        # same map-derived values (json_keys ~ map_keys); the
+        # json_valid + OBJECT guard mirrors the Spark side's NULL-map
+        # filter so malformed props drop identically on both sides
         "events_map_agg": """
             SELECT event_type,
                    CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
                        AS sum_kval,
                    CAST(max(len(json_keys(props))) AS BIGINT) AS max_keys
-            FROM events GROUP BY event_type""",
+            FROM events
+            WHERE json_valid(props) AND json_type(props) = 'OBJECT'
+            GROUP BY event_type""",
         "events_json_agg": """
             SELECT event_type, count(*) AS n_events,
                    CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)

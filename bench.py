@@ -90,16 +90,17 @@ def main() -> None:
     prev = _prev_round_queries()
     # noise guard (VERDICT r02 item 7): the r02 record's 15.99s vs the
     # same code's 11.9s re-run showed 3 interleaved repeats can land
-    # entirely inside one noise burst.  Any query >25% slower than the
-    # previous round gets 2 extra interleaved passes (5 total) before
-    # the record is written — the min over 5 is what lands in BENCH.
-    slow = [(n, t) for n, t in jobs
-            if n in prev and prev[n] > 0
-            and timings[n] > 1.25 * prev[n]]
-    for _ in range(2):
-        if not slow:
-            break
-        run_pass(slow)
+    # entirely inside one noise burst.  If ANY query is >25% slower
+    # than the previous round, the WHOLE job list gets 2 extra
+    # interleaved passes (5 total) — re-running everything, not just
+    # the slow queries, keeps repeat counts equal across queries so
+    # per-query deltas compare mins over the same N (ADVICE r03: a
+    # slow-only re-run hides regressions relative to improvements).
+    noisy = any(n in prev and prev[n] > 0 and timings[n] > 1.25 * prev[n]
+                for n, _ in jobs)
+    if noisy:
+        for _ in range(2):
+            run_pass(jobs)
     n_out = outs["proofread_synth"]
 
     total = round(sum(timings.values()), 3)

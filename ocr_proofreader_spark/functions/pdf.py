@@ -104,8 +104,20 @@ def _stream_objects(data: bytes):
         d = data[max(obj_at, 0):m.start()]
         body_at = m.end()
         lm = _LENGTH_RE.search(d)
+        # an inaccurate direct /Length (real-world PDFs have them) must
+        # not silently mis-frame the body: honor it only when the slice
+        # it frames is actually followed by 'endstream' (after at most
+        # one EOL); otherwise fall through to the delimiter scan
         if lm:
             end = body_at + int(lm.group(1))
+            tail = data[end:end + 11]
+            ok = (tail.startswith(b"endstream")
+                  or tail.startswith(b"\nendstream")
+                  or tail.startswith(b"\r\nendstream")
+                  or tail.startswith(b"\rendstream"))
+            if not ok:
+                lm = None
+        if lm:
             body = data[body_at:end]
             nxt = data.find(b"endstream", end)
             pos = nxt + 9 if nxt >= 0 else end

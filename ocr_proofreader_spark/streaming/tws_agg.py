@@ -64,9 +64,13 @@ class _RunningAgg(StatefulProcessor):
         n = tot = 0
         mx = -(1 << 62)
         for pdf in rows:
+            if len(pdf) == 0:     # empty chunk: int(NaN max) would raise
+                continue
             n += len(pdf)
             tot += float(pdf["value"].sum())
             mx = max(mx, int((pdf["ts"].astype("int64") // 10**9).max()))
+        if n == 0:                # nothing folded: no state write, no emit
+            return
         if self._agg.exists():
             pn, pt, pm = self._agg.get()
             n, tot, mx = n + pn, tot + pt, max(mx, pm)

@@ -85,6 +85,19 @@ def test_pdf_roundtrip_property():
         b"%PDF-1.4\nstream\n(\\101 a\\8b) Tj\nendstream") == "A a8b"
     with pytest.raises(PdfError):
         extract_pdf_text(b"%PDF-1.4\nstream\n(\\777) Tj\nendstream")
+    # an INACCURATE direct /Length (real-world PDFs carry them) must
+    # not mis-frame the body: when the framed slice is not followed by
+    # 'endstream', the parser falls back to the delimiter scan
+    # (ADVICE r03).  /Length 3 would otherwise truncate '(hi there) Tj'.
+    wrong_len = (b"%PDF-1.4\n1 0 obj\n<< /Length 3 >>\n"
+                 b"stream\n(hi there) Tj\nendstream\nendobj")
+    assert extract_pdf_text(wrong_len) == "hi there"
+    # and an ACCURATE /Length still frames exactly
+    body = b"(ok) Tj"
+    right_len = (b"%PDF-1.4\n1 0 obj\n<< /Length "
+                 + str(len(body)).encode()
+                 + b" >>\nstream\n" + body + b"\nendstream\nendobj")
+    assert extract_pdf_text(right_len) == "ok"
 
 
 def test_pdf_roundtrip_on_corpus(spark):

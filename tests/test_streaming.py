@@ -280,6 +280,20 @@ def test_tws_running_agg_processor_fold():
         assert last.iloc[0]["max_epoch"] == 9000
         assert handle.state.v[0] == 4
 
+    # empty chunks (ADVICE r03): an empty pandas chunk must not crash
+    # the fold (int of a NaN max), an all-empty invocation must emit
+    # nothing and leave state untouched (no sentinel max_epoch), and an
+    # empty chunk mixed with real ones must not alter the result
+    proc = _RunningAgg()
+    handle = FakeHandle()
+    proc.init(handle)
+    out = list(proc.handleInputRows((7,), iter([events.iloc[0:0]]), None))
+    assert out == [] and handle.state.v is None
+    mixed = iter([events.iloc[0:2], events.iloc[0:0], events.iloc[2:4]])
+    last = next(proc.handleInputRows((7,), mixed, None))
+    assert last.iloc[0]["n_events"] == 4
+    assert last.iloc[0]["max_epoch"] == 9000
+
 
 def test_tws_stream_end_to_end(spark):
     """Full transformWithStateInPandas run — self-skips until the
