@@ -93,7 +93,7 @@ def test_line_dedup_corpus_on_multiline_duplicates(spark):
                  (2, "shared"), (3, "alpha\nalpha\ndelta")]:
         con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
     orc = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
-        entrymod.extra_oracle_sql()["line_dedup_corpus"]).fetchall()}
+        entrymod.oracle_sql()["line_dedup_corpus"]).fetchall()}
     assert orc == got
 
 
