@@ -268,6 +268,9 @@ def sniff_and_decode(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if data[:8] == _PNG_MAGIC:
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from ocr_proofreader_spark.functions.jpeg import decode_jpeg
+        return decode_jpeg(data)
     raise CodecError(f"unknown image magic {data[:2]!r}")
 
 

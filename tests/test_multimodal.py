@@ -188,16 +188,17 @@ def test_png_poison_payloads():
         decode_png(patched)
 
 
-def test_synth_payload_mixes_png_and_ppm(spark, media):
-    """The synthetic payload generator must exercise BOTH codec legs:
-    md5-even refs carry PNG, the rest PPM, and the real decode stage
-    produces identical (dims, features) regardless of encoding."""
+def test_synth_payload_mixes_codec_legs(spark, media):
+    """The synthetic payload generator must exercise all THREE codec
+    legs (md5 byte 3 mod 3: PNG / PPM / baseline JPEG), and the real
+    decode stage produces identical (dims, features) regardless of
+    encoding."""
     from ocr_proofreader_spark.operators.multimodal import (
         decode_media_bytes, synth_payload)
     withp = synth_payload(media)
     rows = withp.collect()
     magics = {bytes(r["payload"][:2]) for r in rows}
-    assert b"\x89P" in magics and b"P6" in magics   # both legs present
+    assert {b"\x89P", b"P6", b"\xff\xd8"} <= magics   # all legs present
     decoded = decode_media_bytes(withp).collect()
     assert all(r["error"] is None for r in decoded)
     import hashlib
