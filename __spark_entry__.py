@@ -995,6 +995,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": lambda s, d: ops.token_count(_t(s, d, "documents")),
         "lang_guess": lambda s, d: ops.lang_guess(_t(s, d, "documents")),
         "ann_topk": lambda s, d: ops.ann_topk_brute(_t(s, d, "embeddings")),
+        # round-4 additions: SimHash near-dup pairing (lossless banding
+        # vs the twin's quadratic hamming join), PII scrub over
+        # deterministic injected fixtures, benchmark decontamination
+        "simhash_near_dup": lambda s, d: ops.simhash_near_dup(
+            _t(s, d, "documents")),
+        "pii_scrub": lambda s, d: ops.pii_scrub(
+            ops.synth_pii(_t(s, d, "documents"))),
+        "benchmark_contamination": lambda s, d: ops.benchmark_contamination(
+            _t(s, d, "documents")),
         # NATIVE session_window + watermark sessionizer (late-data-
         # tolerant production form of sessionize_stream_closed)
         "session_window_stream": _session_window_stream,
@@ -1055,9 +1064,16 @@ def _session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def extra_oracle_sql() -> dict[str, str]:
     from ocr_proofreader_spark.operators.training_ops import (
-        BPE_PATTERN, bpe_seg_count_expr)
+        BPE_PATTERN, PII_EMAIL, PII_PHONE, bpe_seg_count_expr)
     bpe_pat = BPE_PATTERN.replace("'", "''")
     _BPE_SEG_DUCK = bpe_seg_count_expr("s", "duckdb")
+    sim16_votes = ", ".join(
+        f"sum(CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(16))
+    sim16_pack = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(16))
+    pii_h = "md5(CAST(doc_id AS VARCHAR))"
     return {
         # twin of training_ops.repetition_metrics (Gopher/C4 repetition
         # signals): same 2-gram definition, integer counts throughout
@@ -1141,6 +1157,75 @@ def extra_oracle_sql() -> dict[str, str]:
               FROM embeddings CROSS JOIN q)
             SELECT vec_id, round(c, 3) + 0.0 AS cosine
             FROM cos ORDER BY c DESC, vec_id LIMIT 10""",
+        # twin of training_ops.simhash_near_dup: the plain QUADRATIC
+        # hamming join — a different plan whose agreement certifies the
+        # engine's lossless-banding argument, not just the arithmetic
+        "simhash_near_dup": f"""
+            WITH words AS (SELECT doc_id, unnest({_TOKS}) AS word
+                           FROM documents),
+            vals AS (SELECT doc_id,
+                            CAST(('0x' || substr(md5(word), 1, 4))
+                                 AS BIGINT) AS v
+                     FROM words),
+            votes AS (SELECT doc_id, {sim16_votes} FROM vals
+                      GROUP BY doc_id),
+            sh AS (SELECT doc_id, CAST({sim16_pack} AS BIGINT) AS simhash
+                   FROM votes)
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""",
+        # twin of pii_scrub(synth_pii(...)): recomputes the injection
+        # AND the scrub (patterns are lookaround-free, so RE2 and
+        # java.util.regex match the same spans)
+        "pii_scrub": f"""
+            WITH injected AS (
+              SELECT doc_id,
+                     CASE CAST(('0x' || substr({pii_h}, 1, 2))
+                               AS INTEGER) % 3
+                       WHEN 0 THEN text || ' contact: user'
+                            || substr({pii_h}, 3, 4) || '@example.com'
+                       WHEN 1 THEN text || ' call 555-'
+                            || translate(substr({pii_h}, 3, 3),
+                                         'abcdef', '012345')
+                            || '-'
+                            || translate(substr({pii_h}, 6, 4),
+                                         'abcdef', '012345')
+                       ELSE text END AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{PII_EMAIL}'))
+                        AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{PII_PHONE}'))
+                        AS BIGINT) AS n_phones,
+                   md5(regexp_replace(
+                       regexp_replace(text, '{PII_EMAIL}', '[EMAIL]',
+                                      'g'),
+                       '{PII_PHONE}', '[PHONE]', 'g'))
+                       AS scrubbed_digest
+            FROM injected""",
+        # twin of benchmark_contamination: same 8-gram containment via
+        # an IN-subquery instead of the engine's broadcast semi-join
+        "benchmark_contamination": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                         [array_to_string(t[i:i+7], ' ')
+                          for i in range(1, len(t) - 6)])) AS gram
+              FROM toks WHERE len(t) >= 8),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 5),
+            hits AS (
+              SELECT doc_id, count(*) AS n_hits
+              FROM grams
+              WHERE doc_id >= 5 AND gram IN (SELECT gram FROM bench)
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(n_hits, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id >= 5) d
+            LEFT JOIN hits USING (doc_id)""",
         # twin of streaming.windowed.session_window_stream: append-mode
         # session_window emits a session once the watermark (max ts -
         # delay) REACHES its end (last event + gap; boundary INCLUSIVE —

@@ -532,6 +532,151 @@ def simhash(docs: DataFrame, bits: int = 8) -> DataFrame:
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def simhash_near_dup(docs: DataFrame, bits: int = 16,
+                     max_hamming: int = 2) -> DataFrame:
+    """Near-duplicate PAIRS from SimHash fingerprints: docs whose
+    ``bits``-bit simhashes differ in at most ``max_hamming`` bit
+    positions, with the exact Hamming distance reported.
+
+    Scale shape: the fingerprint is split into ``max_hamming + 2``
+    bands and candidate pairs come from an equi-join on (band index,
+    band value) — by pigeonhole, <= max_hamming differing bits leave
+    at least two bands intact, so the banding is LOSSLESS for this
+    radius (no recall loss, unlike MinHash banding) while turning the
+    O(n^2) all-pairs comparison into sum-of-bucket^2 equi-join work.
+    The exact ``bit_count(xor)`` post-filter then removes band-collision
+    false positives.  The DuckDB twin runs the plain quadratic
+    hamming join — a different plan whose agreement certifies the
+    banding argument, not just the arithmetic."""
+    n_bands = max_hamming + 2
+    width = bits // n_bands + (1 if bits % n_bands else 0)
+    sh = simhash_wide(docs, bits)
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            (F.shiftright("simhash", b * width)
+             .bitwiseAND(F.lit((1 << width) - 1)))
+            for b in range(n_bands)])).alias("band", "bval"))
+    a = bands.select(F.col("doc_id").alias("d1"),
+                     F.col("simhash").alias("s1"), "band", "bval")
+    b = bands.select(F.col("doc_id").alias("d2"),
+                     F.col("simhash").alias("s2"), "band", "bval")
+    return (a.join(b, ["band", "bval"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2",
+                    F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+                    .cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
+def simhash_wide(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """``simhash`` generalized past 8 bits: md5-derived per-token bit
+    votes, packed majority.  Kept separate so the 8-bit driver query's
+    hash stays frozen."""
+    words = docs.select(
+        "doc_id", F.explode(F.expr(TOKENS)).alias("word"))
+    nhex = (bits + 3) // 4
+    v = F.conv(F.substring(F.md5("word"), 1, nhex), 16, 10).cast("long")
+    votes = [F.sum(F.when(F.shiftright(v, b).bitwiseAND(F.lit(1)) == 1,
+                          1).otherwise(-1)).alias(f"v{b}")
+             for b in range(bits)]
+    agg = words.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# RE2-safe and Java-regex-identical PII patterns: no lookaround, no
+# backreferences, so Spark (java.util.regex) and DuckDB (RE2) match the
+# same spans
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction (the compliance pass every training pipeline runs
+    before a corpus ships): replace email addresses and NNN-NNN-NNNN
+    phone numbers with typed placeholders, reporting per-doc match
+    counts and the md5 of the scrubbed text.  Pure JVM regexp engine
+    work — one projection, no shuffle, no UDF; patterns chosen from
+    the lookaround-free subset where java.util.regex and RE2 agree so
+    the DuckDB twin is bit-exact."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", PII_EMAIL, "[EMAIL]"),
+        PII_PHONE, "[PHONE]")
+    # Spark SQL string literals eat backslash escapes — double them for
+    # the F.expr-embedded copies (the F.regexp_replace args above are
+    # literal Columns and need none)
+    email_sql = PII_EMAIL.replace("\\", "\\\\")
+    phone_sql = PII_PHONE.replace("\\", "\\\\")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(text, '{email_sql}', 0))")
+        .cast("long").alias("n_emails"),
+        F.expr(f"size(regexp_extract_all(text, '{phone_sql}', 0))")
+        .cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_digest"))
+
+
+def synth_pii(docs: DataFrame) -> DataFrame:
+    """docs with deterministic PII injected (md5-routed: a third of
+    docs get an email appended, a third a phone number, a third stay
+    clean) — the driver corpus contains no real PII, so the scrub
+    operator is exercised end-to-end the same way synth_html feeds the
+    HTML extractor."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    sel = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % 3
+    email = F.concat(F.lit(" contact: user"),
+                     F.substring(h, 3, 4), F.lit("@example.com"))
+    # hex -> digits (a-f mapped to 0-5) so the number matches PII_PHONE
+    digits = lambda c: F.translate(c, "abcdef", "012345")  # noqa: E731
+    phone = F.concat(F.lit(" call 555-"), digits(F.substring(h, 3, 3)),
+                     F.lit("-"), digits(F.substring(h, 6, 4)))
+    return docs.withColumn(
+        "text",
+        F.when(sel == 0, F.concat("text", email))
+        .when(sel == 1, F.concat("text", phone))
+        .otherwise(F.col("text")))
+
+
+def benchmark_contamination(docs: DataFrame, n: int = 8,
+                            bench_max_doc: int = 5) -> DataFrame:
+    """Benchmark-contamination check (decontamination is a standard
+    LLM-corpus step: training text sharing long n-grams with an eval
+    set must be flagged).  The 'benchmark' here is the ``n``-gram set
+    of docs with doc_id < ``bench_max_doc`` — deterministic and
+    self-contained; a real deployment swaps in the eval-suite table.
+
+    Scale shape: benchmark n-gram sets are small (eval suites are MBs,
+    not TBs), so the probe is a BROADCAST semi-join against the
+    benchmark grams — the corpus-side scan never shuffles.  Output is
+    per-doc hit count + flag; benchmark docs themselves are excluded
+    from the report."""
+    grams = (docs
+             .withColumn("toks", F.expr(TOKENS))
+             .filter(F.expr(f"size(toks) >= {n}"))
+             .select("doc_id", F.explode(F.expr(
+                 f"array_distinct(transform(sequence(0, size(toks)-{n}),"
+                 f" i -> concat_ws(' ', slice(toks, i+1, {n}))))"))
+                 .alias("gram")))
+    bench = (grams.filter(F.col("doc_id") < bench_max_doc)
+             .select("gram").distinct())
+    hits = (grams.filter(F.col("doc_id") >= bench_max_doc)
+            .join(F.broadcast(bench), "gram", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits")))
+    return (docs.filter(F.col("doc_id") >= bench_max_doc)
+            .select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"))
+            .withColumn("contaminated", F.col("n_hits") > 0))
+
+
 def ngram_jaccard(docs: DataFrame, max_doc_id: int = 100,
                   n: int = 3) -> DataFrame:
     """Pairwise n-gram Jaccard similarity for a bounded doc subset.

@@ -208,3 +208,95 @@ def test_bpe_merged_hypothesis_vs_ref(spark):
            for r in token_count_bpe_merged(docs).collect()}
     for doc_id, text in cases:
         assert out[doc_id] == _bpe_ref_count(text), (doc_id, repr(text))
+
+
+def test_pii_scrub_injected_fixtures(spark):
+    """synth_pii injects deterministic emails/phones (md5-routed
+    thirds); pii_scrub must count and redact exactly those, and the
+    scrubbed text must contain no pattern matches."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ocr_proofreader_spark.operators.training_ops import (
+        PII_EMAIL, PII_PHONE, pii_scrub, synth_pii)
+    docs = spark.createDataFrame(
+        [(i, f"plain text number {i}") for i in range(60)],
+        "doc_id long, text string")
+    injected = synth_pii(docs)
+    rows = {r["doc_id"]: r["text"] for r in injected.collect()}
+    out = {r["doc_id"]: r for r in pii_scrub(injected).collect()}
+    n_email = n_phone = n_clean = 0
+    for doc_id, text in rows.items():
+        e = len(re.findall(PII_EMAIL, text))
+        p = len(re.findall(PII_PHONE, text))
+        assert out[doc_id]["n_emails"] == e
+        assert out[doc_id]["n_phones"] == p
+        n_email += e > 0
+        n_phone += p > 0
+        n_clean += (e == 0 and p == 0)
+    # md5 routing puts docs in all three branches
+    assert n_email and n_phone and n_clean
+    # and scrubbing is complete: re-scrubbing the scrubbed text is a
+    # fixpoint (digest of scrub(scrub(x)) == digest of scrub(x))
+    scrubbed = injected.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL, "[EMAIL]"),
+            PII_PHONE, "[PHONE]").alias("text"))
+    again = {r["doc_id"]: r["scrubbed_digest"]
+             for r in pii_scrub(scrubbed).collect()}
+    for doc_id in rows:
+        assert again[doc_id] == out[doc_id]["scrubbed_digest"]
+        assert out[doc_id]["n_emails"] + out[doc_id]["n_phones"] >= 0
+
+
+def test_simhash_near_dup_banding_is_lossless(spark):
+    """The banded candidate join must find EXACTLY the pairs a brute
+    hamming scan finds at radius 2 (pigeonhole: 2 differing bits leave
+    >= 2 of 4 bands intact) — near-identical docs pair up, disjoint
+    docs don't."""
+    from ocr_proofreader_spark.operators.training_ops import (
+        simhash_near_dup, simhash_wide)
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    docs = spark.createDataFrame(
+        [(0, base), (1, base + "extra"), (2, base.replace("fox", "cat")),
+         (3, "completely different words entirely unrelated corpus "
+             "material nothing shared here at all " * 4),
+         (4, base)],
+        "doc_id long, text string")
+    got = {(r["d1"], r["d2"]): r["hamming"]
+           for r in simhash_near_dup(docs).collect()}
+    # brute-force reference from the wide fingerprints
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_wide(docs).collect()}
+    expected = {}
+    ids = sorted(sh)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d = bin(sh[i] ^ sh[j]).count("1")
+                if d <= 2:
+                    expected[(i, j)] = d
+    assert got == expected
+    assert (0, 4) in got and got[(0, 4)] == 0   # identical docs pair
+
+
+def test_benchmark_contamination(spark):
+    """Docs sharing an 8-gram with the benchmark set (doc_id < 5) are
+    flagged with the right hit count; disjoint docs are clean and
+    benchmark docs are excluded from the report."""
+    from ocr_proofreader_spark.operators.training_ops import \
+        benchmark_contamination
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    docs = spark.createDataFrame(
+        [(0, bench_text), (1, "one two three four five six seven eight"),
+         (5, "prefix " + bench_text),            # contains bench 8-grams
+         (6, "one two three four five six seven eight"),  # = doc 1 (bench)
+         (7, "totally clean text with nothing shared " * 3)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in benchmark_contamination(docs).collect()}
+    assert set(out) == {5, 6, 7}                 # bench docs excluded
+    assert out[5]["contaminated"] and out[5]["n_hits"] == 2
+    # doc 6 equals bench doc 1: its single 8-gram is contaminated
+    assert out[6]["contaminated"] and out[6]["n_hits"] == 1
+    assert not out[7]["contaminated"] and out[7]["n_hits"] == 0
