@@ -1000,6 +1000,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic injected fixtures, benchmark decontamination
         "simhash_near_dup": lambda s, d: ops.simhash_near_dup(
             _t(s, d, "documents")),
+        "quality_filter": lambda s, d: ops.quality_filter(
+            _t(s, d, "documents")),
+        # REAL audio leg: deterministic constant-amplitude WAV per ref,
+        # parsed by the pure-Python RIFF/PCM codec; constant signals
+        # make every decoded value md5-derivable by the twin
+        "media_audio_real": lambda s, d: _media_audio_real(s, d),
         "pii_scrub": lambda s, d: ops.pii_scrub(
             ops.synth_pii(_t(s, d, "documents"))),
         "benchmark_contamination": lambda s, d: ops.benchmark_contamination(
@@ -1047,6 +1053,21 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  F.sum("k").alias("sum_k"),
                  F.max("k").alias("max_k"))),
     }
+
+
+def _media_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_proofreader_spark.operators.multimodal import (
+        decode_audio_bytes, media_inventory, synth_audio_payload)
+    from ocr_proofreader_spark.sources.interleaved import \
+        interleaved_from_flat
+    inv = media_inventory(interleaved_from_flat(_t(spark, sf_dir,
+                                                   "documents")))
+    return (decode_audio_bytes(synth_audio_payload(inv))
+            .select("doc_id", "media_ref", "sample_rate", "n_samples",
+                    "duration_ms",
+                    F.expr(_digest_arr("features"))
+                    .alias("features_digest"),
+                    "error"))
 
 
 def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1176,6 +1197,72 @@ def extra_oracle_sql() -> dict[str, str]:
                        AS hamming
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""",
+        # twin of training_ops.quality_filter: same integer-only
+        # thresholds recomposed from the quality/repetition twin CTEs
+        "quality_filter": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t,
+                     string_split(text, chr(10)) AS ls, text
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest([t[i] || ' ' || t[i+1]
+                             for i in range(1, len(t))]) AS gram
+              FROM toks WHERE len(t) >= 2),
+            gc AS (SELECT doc_id, gram, count(*) AS c FROM grams
+                   GROUP BY doc_id, gram),
+            ga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+                          CAST(max(c) AS BIGINT) AS top
+                   FROM gc GROUP BY doc_id),
+            m AS (
+              SELECT d.doc_id,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(len(ls) AS BIGINT) AS n_lines,
+                     CAST(len(list_distinct(ls)) AS BIGINT) AS n_distinct,
+                     coalesce(n_2grams, 0) AS n_2grams,
+                     coalesce(top, 0) AS top
+              FROM toks d LEFT JOIN ga USING (doc_id)),
+            f AS (
+              SELECT doc_id,
+                     n_tokens < 50 AS too_short,
+                     (n_chars < 3 * n_tokens
+                      OR n_chars > 12 * n_tokens) AS token_shape,
+                     10 * n_distinct < 7 * n_lines AS dup_lines,
+                     (n_2grams > 0 AND 100 * top > 18 * n_2grams)
+                         AS rep_2gram
+              FROM m)
+            SELECT doc_id,
+                   NOT (too_short OR token_shape OR dup_lines
+                        OR rep_2gram) AS accept,
+                   coalesce(array_to_string(list_sort(
+                       [x for x in
+                        [CASE WHEN too_short THEN 'too_short' END,
+                         CASE WHEN token_shape THEN 'token_shape' END,
+                         CASE WHEN dup_lines THEN 'dup_lines' END,
+                         CASE WHEN rep_2gram THEN 'rep_2gram' END]
+                        if x IS NOT NULL]), ','), '') AS reasons
+            FROM f""",
+        # twin of decode_audio_bytes(synth_audio_payload(...)): constant
+        # signals make every decoded field md5-derivable — amplitude
+        # byte b2 -> feature (b2-128)/128 in all 8 bands, n_samples
+        # 4000 + b1*16 at 8000 Hz
+        "media_audio_real": f"""
+            WITH {_MEDIA_CTE},
+            g AS (
+              SELECT doc_id, media_ref,
+                     CAST(8000 AS INTEGER) AS sample_rate,
+                     CAST(4000 + {_md5_byte('media_ref', 1)} * 16
+                          AS BIGINT) AS n_samples,
+                     [CAST(CAST(({_md5_byte('media_ref', 2)} - 128)
+                                AS DOUBLE) / 128.0 AS FLOAT)
+                      for i in range(0, 8)] AS features
+              FROM media)
+            SELECT doc_id, media_ref, sample_rate, n_samples,
+                   (1000 * n_samples) // 8000 AS duration_ms,
+                   {_digest_arr_sql('features')} AS features_digest,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM g""",
         # twin of pii_scrub(synth_pii(...)): recomputes the injection
         # AND the scrub (patterns are lookaround-free, so RE2 and
         # java.util.regex match the same spans)

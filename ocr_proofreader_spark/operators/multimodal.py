@@ -10,6 +10,7 @@ marked ``NotImplementedError`` otherwise — the Spark-side plumbing
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -231,3 +232,79 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
                 yield pd.DataFrame(rows,
                                    columns=[f.name for f in FRAME_META])
     return media.mapInPandas(fn, FRAME_META)
+
+
+AUDIO_META = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("features", T.ArrayType(T.FloatType()), True),
+    T.StructField("error", T.StringType(), True),
+])
+
+
+def synth_audio_payload(media: DataFrame) -> DataFrame:
+    """media + a deterministic WAV ``payload``: a constant-amplitude
+    8-bit PCM mono clip whose level/length derive from the ref's md5
+    (amplitude byte b2, n_samples 4000 + b1*16, rate 8000).  Constant
+    signals make the decoded band features EXACTLY (b2-128)/128 (see
+    audio_band_features), so the real audio decode path is bit-exactly
+    oracle-checkable the same way the solid-color image legs are."""
+    from ocr_proofreader_spark.functions.audio import encode_wav
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for ref in pdf["media_ref"]:
+                h = hashlib.md5(ref.encode()).digest()
+                n = 4000 + h[1] * 16
+                amp = (h[2] - 128) / 128.0
+                payloads.append(encode_wav(
+                    np.full((n, 1), amp, dtype=np.float64), rate=8000))
+            out = pdf[["doc_id", "media_ref", "page"]].copy()
+            out["payload"] = payloads
+            yield out
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("page", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+    return media.mapInPandas(fn, schema)
+
+
+def decode_audio_bytes(media: DataFrame, feature_dim: int = 8,
+                       on_error: str = "null") -> DataFrame:
+    """REAL audio decode stage over a WAV ``payload`` binary column:
+    RIFF/PCM parsing (functions/audio.py) emits sample-rate / length /
+    duration metadata plus temporal band features; corrupt payloads
+    isolate to error rows exactly like the image decode stage
+    (``on_error='fail'`` raises for tests)."""
+    from ocr_proofreader_spark.functions.audio import (audio_band_features,
+                                                       decode_wav)
+    from ocr_proofreader_spark.functions.codecs import CodecError
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, payload in zip(
+                    pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
+                try:
+                    rate, samples = decode_wav(
+                        bytes(payload) if payload is not None else b"")
+                    feats = audio_band_features(samples, feature_dim)
+                    n = len(samples)
+                    rows.append((doc_id, ref, rate, n,
+                                 1000 * n // rate, feats.tolist(), None))
+                except (CodecError, ValueError, struct.error) as e:
+                    if on_error == "fail":
+                        raise
+                    rows.append((doc_id, ref, None, None, None, None,
+                                 str(e)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "media_ref", "sample_rate", "n_samples",
+                "duration_ms", "features", "error"])
+    return (media.select("doc_id", "media_ref", "payload")
+            .mapInPandas(fn, AUDIO_META))

@@ -532,6 +532,38 @@ def simhash(docs: DataFrame, bits: int = 8) -> DataFrame:
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """C4/Gopher-style ACCEPT/REJECT verdict per doc, composed from the
+    quality and repetition signal families — the decision layer a
+    training pipeline actually runs, not just the raw metrics.
+
+    Thresholds are INTEGER cross-multiplications only (10*distinct <
+    7*lines encodes dup-ratio > 0.3, etc.) so the verdict is
+    bit-portable; ``reasons`` is the sorted comma-joined flag list.
+    Plan: two partial+final aggregates (quality is a pure projection;
+    repetition aggregates 2-grams) joined once on doc_id — both sides
+    are one-row-per-doc, so the join is 1:1 on the natural key."""
+    q = quality_metrics(docs)
+    r = repetition_metrics(docs)
+    j = q.join(r, "doc_id")
+    flags = [
+        ("too_short", F.col("n_tokens") < 50),
+        ("token_shape", (F.col("n_chars") < 3 * F.col("n_tokens"))
+         | (F.col("n_chars") > 12 * F.col("n_tokens"))),
+        ("dup_lines", 10 * F.col("n_distinct_lines") < 7 * F.col("n_lines")),
+        ("rep_2gram", (F.col("n_2grams") > 0)
+         & (100 * F.col("top_2gram_count") > 18 * F.col("n_2grams"))),
+    ]
+    reason_arr = F.array_sort(F.filter(
+        F.array(*[F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                  for name, cond in flags]),
+        lambda x: x.isNotNull()))
+    return j.select(
+        "doc_id",
+        (F.size(reason_arr) == 0).alias("accept"),
+        F.array_join(reason_arr, ",").alias("reasons"))
+
+
 def simhash_near_dup(docs: DataFrame, bits: int = 16,
                      max_hamming: int = 2) -> DataFrame:
     """Near-duplicate PAIRS from SimHash fingerprints: docs whose

@@ -274,3 +274,64 @@ def test_sample_frames_expansion(spark, media):
                                                 key=lambda f: f["frame_idx"])]
         assert ts == sorted(ts) and ts[0] == 0.0
         assert all(len(f["frame_features"]) == 8 for f in frames)
+
+
+def test_wav_codec_roundtrip_and_poison():
+    """RIFF/PCM parse: 8/16-bit mono/stereo round-trips within
+    quantization, constant signals are exact, and corrupt payloads
+    raise CodecError."""
+    import numpy as np
+    import pytest
+
+    from ocr_proofreader_spark.functions.audio import (audio_band_features,
+                                                       decode_wav,
+                                                       encode_wav)
+    from ocr_proofreader_spark.functions.codecs import CodecError
+    rng = np.random.RandomState(0)
+    for bits, ch in ((8, 1), (8, 2), (16, 1), (16, 2)):
+        s = rng.uniform(-0.9, 0.9, size=(500, ch))
+        rate, out = decode_wav(encode_wav(s, rate=16000, bits=bits))
+        assert rate == 16000 and out.shape == (500, ch)
+        tol = 1 / 128 if bits == 8 else 1 / 32768
+        assert np.abs(out - s).max() <= tol
+    # constant amplitude survives exactly (dyadic) and features equal it
+    amp = (200 - 128) / 128.0
+    rate, out = decode_wav(encode_wav(np.full((4096, 1), amp)))
+    assert (out == amp).all()
+    feats = audio_band_features(out)
+    assert (feats == np.float32(amp)).all()
+    # poison
+    good = encode_wav(np.zeros((100, 1)))
+    with pytest.raises(CodecError):
+        decode_wav(b"RIFX" + good[4:])               # bad magic
+    with pytest.raises(CodecError):
+        decode_wav(good[:40])                        # truncated data
+    nonpcm = bytearray(good)
+    nonpcm[20] = 3                                   # IEEE float code
+    with pytest.raises(CodecError, match="PCM"):
+        decode_wav(bytes(nonpcm))
+
+
+def test_decode_audio_bytes_stage(spark, media):
+    """The audio decode stage: synth WAV payloads in, md5-derived
+    metadata out, poison rows isolated."""
+    import hashlib
+
+    from ocr_proofreader_spark.operators.multimodal import (
+        decode_audio_bytes, synth_audio_payload)
+    withp = synth_audio_payload(media)
+    out = decode_audio_bytes(withp).collect()
+    assert out and all(r["error"] is None for r in out)
+    for r in out:
+        h = hashlib.md5(r["media_ref"].encode()).digest()
+        assert r["sample_rate"] == 8000
+        assert r["n_samples"] == 4000 + h[1] * 16
+        assert r["duration_ms"] == 1000 * r["n_samples"] // 8000
+        amp = (h[2] - 128) / 128.0
+        assert all(abs(f - amp) < 1e-7 for f in r["features"])
+    # a poison payload must isolate, not kill the stage
+    bad = spark.createDataFrame(
+        [("d", "x.wav", 0, bytearray(b"not audio"))],
+        "doc_id string, media_ref string, page int, payload binary")
+    rows = decode_audio_bytes(bad).collect()
+    assert rows[0]["error"] and rows[0]["sample_rate"] is None

@@ -300,3 +300,28 @@ def test_benchmark_contamination(spark):
     # doc 6 equals bench doc 1: its single 8-gram is contaminated
     assert out[6]["contaminated"] and out[6]["n_hits"] == 1
     assert not out[7]["contaminated"] and out[7]["n_hits"] == 0
+
+
+def test_quality_filter_verdicts(spark):
+    """The composed C4/Gopher accept/reject verdict fires each flag on
+    a crafted doc and accepts clean prose."""
+    from ocr_proofreader_spark.operators.training_ops import quality_filter
+    clean = ("the quick brown fox jumps over the lazy dog and keeps "
+             "going with plenty of varied words in a normal shape " * 3)
+    docs = spark.createDataFrame(
+        [(0, clean),
+         (1, "short text"),                              # too_short
+         (2, "ab " * 60),                                # rep_2gram
+         (3, "line\nline\nline\nline\nother " + clean),  # dup_lines
+         (4, ("supercalifragilisticexpialidocious" * 3 + " ") * 60)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+    assert out[0]["accept"] and out[0]["reasons"] == ""
+    assert not out[1]["accept"] and "too_short" in out[1]["reasons"]
+    assert not out[2]["accept"] and "rep_2gram" in out[2]["reasons"]
+    assert not out[3]["accept"] and "dup_lines" in out[3]["reasons"]
+    assert not out[4]["accept"] and "token_shape" in out[4]["reasons"]
+    # reasons are sorted csv
+    for r in out.values():
+        parts = r["reasons"].split(",") if r["reasons"] else []
+        assert parts == sorted(parts)
