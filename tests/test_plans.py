@@ -274,3 +274,39 @@ def test_ivf_cell_partition_pruning(spark, tmp_path):
     expected = assigned.filter(F.col("cell").isin(probe)).count()
     assert scan.count() == expected
     assert expected < assigned.count()   # pruning is real, not vacuous
+
+
+def test_round4_ops_plan_shapes(spark):
+    """Round-4 operators keep plan discipline: the PII scrub is a
+    shuffle-free projection, the contamination probe broadcasts its
+    (small) benchmark side as a semi-join, the simhash pairing is an
+    equi hash join (never a nested loop), and the quality verdict
+    carries map-side combines for its aggregates."""
+    import os
+
+    import pytest
+
+    from ocr_proofreader_spark.operators import training_ops as ops
+    src = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(src):
+        pytest.skip("driver testdata missing")
+    docs = spark.read.parquet(src)
+
+    assert P.count_exchanges(ops.pii_scrub(docs)) == 0
+
+    cont = ops.benchmark_contamination(docs)
+    plan = P.physical_plan(cont)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    near = ops.simhash_near_dup(docs)
+    plan = P.physical_plan(near)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+    assert P.has_partial_aggregate(near)       # fingerprint bit votes
+
+    qf = ops.quality_filter(docs)
+    plan = P.physical_plan(qf)
+    assert "CartesianProduct" not in plan
+    assert P.has_partial_aggregate(qf)
