@@ -1006,6 +1006,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parsed by the pure-Python RIFF/PCM codec; constant signals
         # make every decoded value md5-derivable by the twin
         "media_audio_real": lambda s, d: _media_audio_real(s, d),
+        # REAL video leg: deterministic MJPEG-AVI per ref (solid gray
+        # JPEG frames -> bit-exact decode), container parse + sampled
+        # frame decode — all three modalities now have a real codec path
+        "media_frames_real": lambda s, d: _media_frames_real(s, d),
         "pii_scrub": lambda s, d: ops.pii_scrub(
             ops.synth_pii(_t(s, d, "documents"))),
         "benchmark_contamination": lambda s, d: ops.benchmark_contamination(
@@ -1065,6 +1069,21 @@ def _media_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (decode_audio_bytes(synth_audio_payload(inv))
             .select("doc_id", "media_ref", "sample_rate", "n_samples",
                     "duration_ms",
+                    F.expr(_digest_arr("features"))
+                    .alias("features_digest"),
+                    "error"))
+
+
+def _media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_proofreader_spark.operators.multimodal import (
+        media_inventory, sample_frames_real, synth_video_payload)
+    from ocr_proofreader_spark.sources.interleaved import \
+        interleaved_from_flat
+    inv = media_inventory(interleaved_from_flat(_t(spark, sf_dir,
+                                                   "documents")))
+    return (sample_frames_real(synth_video_payload(inv))
+            .select("doc_id", "media_ref", "frame_idx", "t_offset_ms",
+                    "width", "height",
                     F.expr(_digest_arr("features"))
                     .alias("features_digest"),
                     "error"))
@@ -1260,6 +1279,37 @@ def extra_oracle_sql() -> dict[str, str]:
               FROM media)
             SELECT doc_id, media_ref, sample_rate, n_samples,
                    (1000 * n_samples) // 8000 AS duration_ms,
+                   {_digest_arr_sql('features')} AS features_digest,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM g""",
+        # twin of sample_frames_real(synth_video_payload(...)): solid
+        # MJPEG frames decode exactly, so frame indices (i*total//4),
+        # timestamps (idx*40ms at 25fps) and band features
+        # ((b2 + 17*idx) % 256 / 255) are all md5-derivable
+        "media_frames_real": f"""
+            WITH {_MEDIA_CTE},
+            base AS (
+              SELECT doc_id, media_ref,
+                     6 + {_md5_byte('media_ref', 4)} % 6 AS total,
+                     {_md5_byte('media_ref', 2)} AS g0
+              FROM media),
+            fr AS (
+              SELECT doc_id, media_ref, total, g0,
+                     unnest(range(0, 4)) AS i
+              FROM base),
+            g AS (
+              SELECT doc_id, media_ref,
+                     CAST((i * total) // 4 AS INTEGER) AS frame_idx,
+                     CAST(((i * total) // 4) * 40 AS BIGINT)
+                         AS t_offset_ms,
+                     CAST(12 AS INTEGER) AS width,
+                     CAST(16 AS INTEGER) AS height,
+                     [CAST(CAST((g0 + 17 * ((i * total) // 4)) % 256
+                                AS DOUBLE) / 255.0 AS FLOAT)
+                      for j in range(0, 8)] AS features
+              FROM fr)
+            SELECT doc_id, media_ref, frame_idx, t_offset_ms,
+                   width, height,
                    {_digest_arr_sql('features')} AS features_digest,
                    CAST(NULL AS VARCHAR) AS error
             FROM g""",

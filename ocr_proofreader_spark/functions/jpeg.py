@@ -422,10 +422,13 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
 
-def encode_jpeg(pixels: np.ndarray, subsampling: str = "444") -> bytes:
+def encode_jpeg(pixels: np.ndarray, subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """Encode uint8 (h, w, 1|3) as baseline JPEG with all-ones quant
     tables (solid-color blocks round-trip exactly).  ``subsampling``:
-    '444' (or gray input) / '420'."""
+    '444' (or gray input) / '420'.  ``restart_interval`` > 0 emits a
+    DRI segment and RSTn markers every that-many MCUs (exercises the
+    decoder's restart resync path)."""
     if pixels.ndim != 3 or pixels.shape[2] not in (1, 3):
         raise CodecError(f"unsupported pixel shape {pixels.shape}")
     h, w, nc = pixels.shape
@@ -453,6 +456,8 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "444") -> bytes:
     out += _seg(0xC0, sof)
     out += _seg(0xC4, b"\x00" + bytes(_ENC_DC_BITS) + _ENC_DC_VALS)
     out += _seg(0xC4, b"\x10" + bytes(_ENC_AC_BITS) + _ENC_AC_VALS)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(planes)])
     for i in range(len(planes)):
         sos += bytes([i + 1, 0x00])
@@ -485,8 +490,18 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "444") -> bytes:
         padded.append(full)
     writer = _BitWriter()
     preds = [0] * len(planes)
+    n_mcu = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and n_mcu and \
+                    n_mcu % restart_interval == 0:
+                writer.flush()                      # byte-align (1-pad)
+                out += writer.out
+                writer = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0] * len(planes)           # DC predictors reset
             for ci, (sh, sv) in enumerate(samp):
                 for by in range(sv):
                     for bx in range(sh):
@@ -494,6 +509,7 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "444") -> bytes:
                         x0 = (mx * sh + bx) * 8
                         blk = padded[ci][y0:y0 + 8, x0:x0 + 8]
                         preds[ci] = _encode_block(writer, blk, preds[ci])
+            n_mcu += 1
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"

@@ -308,3 +308,85 @@ def decode_audio_bytes(media: DataFrame, feature_dim: int = 8,
                 "duration_ms", "features", "error"])
     return (media.select("doc_id", "media_ref", "payload")
             .mapInPandas(fn, AUDIO_META))
+
+
+FRAME_REAL_META = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("frame_idx", T.IntegerType(), True),
+    T.StructField("t_offset_ms", T.LongType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("features", T.ArrayType(T.FloatType()), True),
+    T.StructField("error", T.StringType(), True),
+])
+
+
+def synth_video_payload(media: DataFrame) -> DataFrame:
+    """media + a deterministic MJPEG-AVI ``payload``: 6 + b4%6 solid
+    gray 12x16 frames at 25 fps, frame i's level (b2 + 17*i) % 256 —
+    solid JPEG frames decode bit-exactly (all-ones quant), so every
+    sampled-frame field is md5-derivable by the DuckDB twin."""
+    from ocr_proofreader_spark.functions.video import encode_avi_mjpeg
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for ref in pdf["media_ref"]:
+                h = hashlib.md5(ref.encode()).digest()
+                total = 6 + h[4] % 6
+                frames = [np.full((16, 12, 1), (h[2] + 17 * i) % 256,
+                                  dtype=np.uint8) for i in range(total)]
+                payloads.append(encode_avi_mjpeg(frames,
+                                                 usec_per_frame=40000))
+            out = pdf[["doc_id", "media_ref", "page"]].copy()
+            out["payload"] = payloads
+            yield out
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("page", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+    return media.mapInPandas(fn, schema)
+
+
+def sample_frames_real(media: DataFrame, n_frames: int = 4,
+                       feature_dim: int = 8,
+                       on_error: str = "null") -> DataFrame:
+    """REAL video frame sampling over an MJPEG-AVI ``payload`` column:
+    container parse (functions/video.py), evenly spaced frame
+    selection, and baseline-JPEG decode of ONLY the sampled frames —
+    the real-codec sibling of the md5-fake :func:`sample_frames`, with
+    the same 1->N mapInPandas expansion and poison-row isolation."""
+    from ocr_proofreader_spark.functions.codecs import (CodecError,
+                                                        band_features)
+    from ocr_proofreader_spark.functions.video import sample_frame_pixels
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_REAL_META]
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, payload in zip(
+                    pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
+                try:
+                    samples = sample_frame_pixels(
+                        bytes(payload) if payload is not None else b"",
+                        n_frames)
+                    for idx, t_ms, px in samples:
+                        feats = band_features(px, feature_dim)
+                        rows.append((doc_id, ref, idx, t_ms,
+                                     px.shape[1], px.shape[0],
+                                     feats.tolist(), None))
+                except (CodecError, ValueError) as e:
+                    if on_error == "fail":
+                        raise
+                    rows.append((doc_id, ref, None, None, None, None,
+                                 None, str(e)))
+                if len(rows) >= 4096:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+    return (media.select("doc_id", "media_ref", "payload")
+            .mapInPandas(fn, FRAME_REAL_META))

@@ -96,3 +96,28 @@ def test_odd_dimensions_and_block_multiples():
     px = rng.randint(0, 256, size=(15, 13, 3), dtype=np.uint8)
     out = decode_jpeg(encode_jpeg(px, subsampling="420"))
     assert out.shape == (15, 13, 3)
+
+
+def test_restart_intervals_roundtrip():
+    """DRI/RSTn: the decoder's restart resync (byte-align, marker
+    sequence check, DC predictor reset) round-trips at several
+    intervals in gray and subsampled color modes."""
+    rng = np.random.RandomState(1)
+    for ri in (1, 2, 3, 5):
+        px = rng.randint(0, 256, size=(33, 41, 1), dtype=np.uint8)
+        data = encode_jpeg(px, restart_interval=ri)
+        assert b"\xff\xdd" in data                 # DRI present
+        out = decode_jpeg(data)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
+        px3 = rng.randint(0, 256, size=(20, 24, 3), dtype=np.uint8)
+        out3 = decode_jpeg(encode_jpeg(px3, subsampling="420",
+                                       restart_interval=ri))
+        assert out3.shape == (20, 24, 3)
+    # out-of-sequence restart marker is a classified error
+    data = bytearray(encode_jpeg(
+        np.full((24, 8, 1), 9, dtype=np.uint8), restart_interval=1))
+    at = bytes(data).find(b"\xff\xd0")
+    assert at > 0
+    data[at + 1] = 0xD5                            # wrong RSTn
+    with pytest.raises(CodecError):
+        decode_jpeg(bytes(data))

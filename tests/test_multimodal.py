@@ -335,3 +335,63 @@ def test_decode_audio_bytes_stage(spark, media):
         "doc_id string, media_ref string, page int, payload binary")
     rows = decode_audio_bytes(bad).collect()
     assert rows[0]["error"] and rows[0]["sample_rate"] is None
+
+
+def test_avi_mjpeg_codec_and_poison():
+    """MJPEG-AVI: container round-trip, lazy frame sampling (only the
+    sampled frames decode), and poison classification."""
+    import numpy as np
+    import pytest
+
+    from ocr_proofreader_spark.functions.codecs import CodecError
+    from ocr_proofreader_spark.functions.video import (decode_avi_mjpeg,
+                                                       encode_avi_mjpeg,
+                                                       sample_frame_pixels)
+    frames = [np.full((16, 12, 1), 10 * i, dtype=np.uint8)
+              for i in range(8)]
+    data = encode_avi_mjpeg(frames, usec_per_frame=40000)
+    usec, raw = decode_avi_mjpeg(data)
+    assert usec == 40000 and len(raw) == 8
+    samp = sample_frame_pixels(data, 4)
+    assert [s[0] for s in samp] == [0, 2, 4, 6]       # even spacing
+    assert [s[1] for s in samp] == [0, 80, 160, 240]  # 25 fps ms offsets
+    for idx, _t, px in samp:
+        assert (px == 10 * idx).all()                 # solid = exact
+    with pytest.raises(CodecError):
+        decode_avi_mjpeg(b"RIFF\x10\x00\x00\x00WAVE")  # not AVI
+    with pytest.raises(CodecError):
+        decode_avi_mjpeg(data[:60])                    # truncated
+    # movi list present but no header
+    with pytest.raises(CodecError):
+        decode_avi_mjpeg(b"RIFF\x0c\x00\x00\x00AVI LIST\x04\x00\x00\x00movi")
+
+
+def test_sample_frames_real_stage(spark, media):
+    """The real video sampling stage: AVI payloads in, md5-derived
+    frame rows out (1->N expansion), poison rows isolated."""
+    import hashlib
+
+    from ocr_proofreader_spark.operators.multimodal import (
+        sample_frames_real, synth_video_payload)
+    withp = synth_video_payload(media)
+    out = sample_frames_real(withp).collect()
+    assert out and all(r["error"] is None for r in out)
+    by_ref = {}
+    for r in out:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    for ref, rows in by_ref.items():
+        h = hashlib.md5(ref.encode()).digest()
+        total = 6 + h[4] % 6
+        assert len(rows) == 4                       # 1->4 expansion
+        for r in sorted(rows, key=lambda x: x["frame_idx"]):
+            assert r["width"] == 12 and r["height"] == 16
+            assert r["t_offset_ms"] == r["frame_idx"] * 40
+            v = (h[2] + 17 * r["frame_idx"]) % 256
+            assert all(abs(f - v / 255.0) < 1e-6 for f in r["features"])
+        assert {r["frame_idx"] for r in rows} == {
+            i * total // 4 for i in range(4)}
+    bad = spark.createDataFrame(
+        [("d", "x.avi", 0, bytearray(b"junk"))],
+        "doc_id string, media_ref string, page int, payload binary")
+    rows = sample_frames_real(bad).collect()
+    assert len(rows) == 1 and rows[0]["error"]
