@@ -1017,6 +1017,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NATIVE session_window + watermark sessionizer (late-data-
         # tolerant production form of sessionize_stream_closed)
         "session_window_stream": _session_window_stream,
+        # watermarked STREAM-STREAM interval inner join (click-to-
+        # purchase attribution); state bounded by watermark + horizon
+        "stream_stream_join": _stream_stream_join,
         # date-function surface: month truncation + year extraction over
         # order dates, grouped rollup
         "orders_monthly": lambda s, d: (
@@ -1092,6 +1095,13 @@ def _media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_proofreader_spark.operators import relational as rel
     return rel.range_join_events(_t(spark, sf_dir, "events"))
+
+
+def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_proofreader_spark.streaming.windowed import stream_stream_join
+    return stream_stream_join(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        max_files_per_trigger=1)
 
 
 def _session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,6 +1207,22 @@ def extra_oracle_sql() -> dict[str, str]:
               FROM embeddings CROSS JOIN q)
             SELECT vec_id, round(c, 3) + 0.0 AS cosine
             FROM cos ORDER BY c DESC, vec_id LIMIT 10""",
+        # twin of streaming.windowed.stream_stream_join: over a finite
+        # AvailableNow input the watermarked INNER interval join emits
+        # exactly the matched pairs (watermarks bound STATE, not
+        # results), so the contract is a plain interval self-join
+        "stream_stream_join": """
+            SELECT e1.user_id,
+                   CAST(floor(epoch(e1.ts)) AS BIGINT) AS click_epoch,
+                   CAST(floor(epoch(e2.ts)) AS BIGINT) AS purchase_epoch,
+                   CAST(floor(epoch(e2.ts)) - floor(epoch(e1.ts))
+                        AS BIGINT) AS lag_sec
+            FROM events e1 JOIN events e2
+              ON e1.user_id = e2.user_id
+             AND e1.event_type = 'click'
+             AND e2.event_type = 'purchase'
+             AND e2.ts >= e1.ts
+             AND e2.ts <= e1.ts + INTERVAL 30 MINUTE""",
         # twin of training_ops.simhash_near_dup: the plain QUADRATIC
         # hamming join — a different plan whose agreement certifies the
         # engine's lossless-banding argument, not just the arithmetic

@@ -1,11 +1,13 @@
 """Multimodal column plumbing: media spans as opaque references/binary with
 typed metadata, decode/feature-extract as Arrow-batched UDF stages.
 
-The container has no image/audio codecs, so the DECODE step is a
-deterministic fake behind ``fake_decode=True`` (default) or a clearly
-marked ``NotImplementedError`` otherwise — the Spark-side plumbing
-(schemas, batch shapes, partitioning) is real and tested
-(task brief: stub the decode, make the plumbing real)."""
+All three modalities have REAL pure-Python codec paths over binary
+payload columns — images (PPM/PGM/BMP/PNG/baseline JPEG via
+``decode_media_bytes``), audio (RIFF/WAV PCM via
+``decode_audio_bytes``), video (MJPEG-in-AVI via
+``sample_frames_real``) — each with per-row poison isolation.  The
+md5-derived fakes (``decode_media``/``sample_frames``) remain for
+payload-less refs and as the SQL-expressible twins of the plumbing."""
 
 from __future__ import annotations
 
@@ -55,7 +57,7 @@ def decode_media(media: DataFrame, feature_dim: int = 8,
                 raise NotImplementedError(
                     "decode_media(fake_decode=False) has no payload to "
                     "read; use decode_media_bytes over a binary payload "
-                    "column (real PPM/PGM/BMP codecs) instead")
+                    "column (real PPM/PGM/BMP/PNG/JPEG codecs) instead")
             rows = []
             for doc_id, ref, page in zip(pdf["doc_id"], pdf["media_ref"],
                                          pdf["page"]):
@@ -212,8 +214,9 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
         for pdf in batches:
             if not fake_decode:
                 raise NotImplementedError(
-                    "no video codec in this environment; supply a real "
-                    "frame decoder via mapInPandas on the binary column")
+                    "sample_frames(fake_decode=False) has no payload to "
+                    "read; use sample_frames_real over an MJPEG-AVI "
+                    "binary payload column (real codec) instead")
             rows = []
             for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
                 h = hashlib.md5(ref.encode()).digest()

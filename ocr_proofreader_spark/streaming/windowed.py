@@ -108,3 +108,49 @@ def session_window_stream(spark, input_path: str,
                     - gap_minutes * 60).alias("end_epoch"),
                    "n_events", "total_value"))
     return run_to_scratch_parquet(agg, spark, "session_window_")
+
+
+def stream_stream_join(spark: SparkSession, input_path: str,
+                       left_type: str = "click",
+                       right_type: str = "purchase",
+                       horizon_minutes: int = 30,
+                       delay: str = "30 minutes",
+                       max_files_per_trigger: int | None = None
+                       ) -> DataFrame:
+    """Watermarked STREAM-STREAM interval inner join — the remaining
+    major Structured Streaming surface: attribute each ``right_type``
+    event to ``left_type`` events by the same user within
+    ``horizon_minutes`` after the click (the classic click-to-purchase
+    attribution join).
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time range, so the engine can evict join state older than
+    watermark + horizon — state stays O(events inside the horizon), the
+    property that lets the join run forever on an unbounded stream.
+    Over a finite AvailableNow input an INNER join emits exactly the
+    matched pairs (the watermark bounds state, not results), which is
+    SQL-expressible — the DuckDB twin is a plain interval self-join.
+
+    Emits raw pairs with integer epochs and lag; volume is bounded by
+    the horizon (each purchase matches only clicks in its preceding
+    window), not quadratic in the stream length."""
+    left = (_event_stream(spark, input_path, max_files_per_trigger)
+            .filter(F.col("event_type") == left_type)
+            .select(F.col("user_id").alias("u1"),
+                    F.col("ts").alias("t1"))
+            .withWatermark("t1", delay))
+    right = (_event_stream(spark, input_path, max_files_per_trigger)
+             .filter(F.col("event_type") == right_type)
+             .select(F.col("user_id").alias("u2"),
+                     F.col("ts").alias("t2"))
+             .withWatermark("t2", delay))
+    joined = (left.join(
+        right,
+        F.expr(f"u1 = u2 AND t2 >= t1 AND "
+               f"t2 <= t1 + interval {horizon_minutes} minutes"))
+        .select(F.col("u1").alias("user_id"),
+                F.unix_timestamp("t1").alias("click_epoch"),
+                F.unix_timestamp("t2").alias("purchase_epoch"),
+                (F.unix_timestamp("t2") - F.unix_timestamp("t1"))
+                .alias("lag_sec")))
+    return run_to_scratch_parquet(joined, spark, "stream_join_")

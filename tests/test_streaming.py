@@ -374,3 +374,47 @@ def test_session_window_stream_boundary_semantics(spark, tmp_path):
     # still-open session (a raw-time split would have emitted its first
     # half), users 9 open
     assert got == [(1, base, base, 1)]
+
+
+def test_stream_stream_join_across_batches(spark, tmp_path):
+    """Watermarked stream-stream interval join: a click in micro-batch 0
+    must still match a purchase arriving in micro-batch 1 (buffered
+    join state carries across triggers), matches outside the horizon or
+    in the wrong order must not emit, and the multi-batch result equals
+    the single-batch one."""
+    import datetime as dt
+    import os
+
+    from ocr_proofreader_spark.streaming.windowed import stream_stream_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes, user, etype):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, etype,
+                1.0, "{}")
+    rows = [
+        ev(0, 0, 1, "click"), ev(1, 10, 1, "purchase"),    # match (cross)
+        ev(2, 5, 2, "click"), ev(3, 50, 2, "purchase"),    # > horizon
+        ev(4, 20, 3, "purchase"), ev(5, 25, 3, "click"),   # wrong order
+        ev(6, 30, 4, "click"), ev(7, 31, 4, "purchase"),   # match (b1 only)
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    in_dir = str(tmp_path / "ssj_in")
+    os.makedirs(in_dir)
+    # batch 0: events up to minute 15; batch 1: the rest — the user-1
+    # pair spans the cut, exercising buffered state
+    for name, subset in (("b0", rows[:3]), ("b1", rows[3:])):
+        d = str(tmp_path / name)
+        spark.createDataFrame(subset, schema).coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(d, part),
+                  os.path.join(in_dir, f"{name}.parquet"))
+
+    got = {(r["user_id"], r["lag_sec"])
+           for r in stream_stream_join(
+               spark, in_dir, max_files_per_trigger=1).collect()}
+    assert got == {(1, 600), (4, 60)}
+    single = {(r["user_id"], r["lag_sec"])
+              for r in stream_stream_join(spark, in_dir).collect()}
+    assert single == got
