@@ -59,6 +59,47 @@ class Catalog:
         return os.path.isdir(self._path(table))
 
 
+# formats the generic path reader/writer supports: the two columnar
+# formats Spark bundles (full predicate-pushdown scans) plus the two
+# text interchange formats every ingest pipeline meets
+SOURCE_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_format(df: DataFrame, path: str, fmt: str,
+                 mode: str = "overwrite") -> None:
+    """Write ``df`` at ``path`` in any supported source format.
+
+    CSV is configured for lossless round-trips of free text (header
+    row, RFC-4180 double-quote escaping so embedded quotes, commas and
+    newlines survive); JSON is line-delimited.  Columnar formats keep
+    their defaults — compression and stats come from Spark."""
+    if fmt not in SOURCE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    w = df.write.mode(mode)
+    if fmt == "csv":
+        w = w.option("header", True).option("escape", '"')
+    w.format(fmt).save(path)
+
+
+def read_format(spark: SparkSession, path: str, fmt: str,
+                schema=None) -> DataFrame:
+    """Read a table written by :func:`write_format`.
+
+    Text formats take an explicit ``schema`` (schema inference is a
+    full extra pass AND nondeterministic on ambiguous columns — at
+    100 TB always pass the schema); CSV reads multiLine so documents
+    containing newlines round-trip."""
+    if fmt not in SOURCE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = (r.option("header", True).option("escape", '"')
+             .option("multiLine", True))
+    return r.format(fmt).load(path)
+
+
 def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
                    n_buckets: int, mode: str = "overwrite") -> None:
     """Persist a table bucketed (and sorted) by join key.
