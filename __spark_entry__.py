@@ -1002,6 +1002,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")),
         "quality_filter": lambda s, d: ops.quality_filter(
             _t(s, d, "documents")),
+        # corpus data-mixing: deterministic hash-based stratified keep
+        "stratified_sample": lambda s, d: ops.stratified_sample(
+            _t(s, d, "documents")),
         # REAL audio leg: deterministic constant-amplitude WAV per ref,
         # parsed by the pure-Python RIFF/PCM codec; constant signals
         # make every decoded value md5-derivable by the twin
@@ -1223,6 +1226,21 @@ def extra_oracle_sql() -> dict[str, str]:
              AND e2.event_type = 'purchase'
              AND e2.ts >= e1.ts
              AND e2.ts <= e1.ts + INTERVAL 30 MINUTE""",
+        # twin of training_ops.stratified_sample: same md5-bucket
+        # membership rule (the bucket_assignment hash family) with the
+        # default per-10000 language rates
+        "stratified_sample": """
+            SELECT doc_id, lang,
+                   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 15) AS BIGINT) % 10000
+                        AS BIGINT) AS sample_bucket,
+                   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 15) AS BIGINT) % 10000
+                        AS BIGINT)
+                   < CASE lang WHEN 'en' THEN 8000
+                               WHEN 'fr' THEN 5000
+                               ELSE 3000 END AS kept
+            FROM documents""",
         # twin of training_ops.simhash_near_dup: the plain QUADRATIC
         # hamming join — a different plan whose agreement certifies the
         # engine's lossless-banding argument, not just the arithmetic

@@ -532,6 +532,34 @@ def simhash(docs: DataFrame, bits: int = 8) -> DataFrame:
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+DEFAULT_MIX_RATES = {"en": 8000, "fr": 5000}   # per-10000 keep rates
+DEFAULT_MIX_OTHER = 3000
+
+
+def stratified_sample(docs: DataFrame,
+                      rates: dict[str, int] | None = None,
+                      other_rate: int = DEFAULT_MIX_OTHER) -> DataFrame:
+    """Deterministic stratified sampling — the data-MIXING step of
+    corpus assembly (per-language/per-source keep rates reweight the
+    final training mix).  A doc is kept iff the first 15 hex digits of
+    md5(doc_id) taken mod 10000 fall under its stratum's per-10000
+    rate: pure hash math, so the sample is reproducible across runs,
+    partitionings and engines (no RNG, no sampleBy seed drift), and
+    membership is decidable per row — one shuffle-free projection.
+    Rates are integers-per-10000 to keep the comparison bit-portable."""
+    rates = DEFAULT_MIX_RATES if rates is None else rates
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 15), 16, 10)
+              .cast("long") % 10000)
+    rate = F.lit(other_rate)
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.select(
+        "doc_id", "lang",
+        bucket.alias("sample_bucket"),
+        (bucket < rate).alias("kept"))
+
+
 def quality_filter(docs: DataFrame) -> DataFrame:
     """C4/Gopher-style ACCEPT/REJECT verdict per doc, composed from the
     quality and repetition signal families — the decision layer a

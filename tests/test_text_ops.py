@@ -325,3 +325,31 @@ def test_quality_filter_verdicts(spark):
     for r in out.values():
         parts = r["reasons"].split(",") if r["reasons"] else []
         assert parts == sorted(parts)
+
+
+def test_stratified_sample_deterministic_rates(spark):
+    """Hash-based data mixing: membership is reproducible across
+    partitionings, per-stratum keep fractions land near their rates,
+    and custom rates change only their stratum."""
+    from ocr_proofreader_spark.operators.training_ops import \
+        stratified_sample
+    docs = spark.createDataFrame(
+        [(i, "text", ["en", "fr", "de"][i % 3]) for i in range(3000)],
+        "doc_id long, text string, lang string")
+    out = {r["doc_id"]: (r["kept"], r["sample_bucket"])
+           for r in stratified_sample(docs).collect()}
+    again = {r["doc_id"]: (r["kept"], r["sample_bucket"])
+             for r in stratified_sample(docs.repartition(7)).collect()}
+    assert out == again                         # bit-reproducible
+    frac = {}
+    rows = stratified_sample(docs).collect()
+    for lang in ("en", "fr", "de"):
+        sub = [r for r in rows if r["lang"] == lang]
+        frac[lang] = sum(r["kept"] for r in sub) / len(sub)
+    assert abs(frac["en"] - 0.8) < 0.05
+    assert abs(frac["fr"] - 0.5) < 0.05
+    assert abs(frac["de"] - 0.3) < 0.05         # default-rate stratum
+    # zero rate empties exactly one stratum
+    none_fr = stratified_sample(docs, rates={"en": 8000, "fr": 0}).collect()
+    assert not any(r["kept"] for r in none_fr if r["lang"] == "fr")
+    assert any(r["kept"] for r in none_fr if r["lang"] == "en")
