@@ -1023,6 +1023,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # watermarked STREAM-STREAM interval inner join (click-to-
         # purchase attribution); state bounded by watermark + horizon
         "stream_stream_join": _stream_stream_join,
+        # STREAM-STATIC broadcast dimension enrichment (stateless)
+        "stream_static_enrich": lambda s, d: __import__(
+            "ocr_proofreader_spark.streaming.windowed",
+            fromlist=["stream_static_enrich"]).stream_static_enrich(
+                s, os.path.join(d, "events.parquet"),
+                os.path.join(d, "customer.parquet"),
+                max_files_per_trigger=1),
         # date-function surface: month truncation + year extraction over
         # order dates, grouped rollup
         "orders_monthly": lambda s, d: (
@@ -1226,6 +1233,14 @@ def extra_oracle_sql() -> dict[str, str]:
              AND e2.event_type = 'purchase'
              AND e2.ts >= e1.ts
              AND e2.ts <= e1.ts + INTERVAL 30 MINUTE""",
+        # twin of streaming.windowed.stream_static_enrich: the
+        # stateless per-batch dimension join equals the batch join
+        "stream_static_enrich": """
+            SELECT e.event_id, e.user_id,
+                   CAST(c.c_nationkey AS BIGINT) AS nation,
+                   e.event_type,
+                   CAST(floor(e.value * 100) AS BIGINT) AS value_cents
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
         # twin of training_ops.stratified_sample: same md5-bucket
         # membership rule (the bucket_assignment hash family) with the
         # default per-10000 language rates

@@ -154,3 +154,28 @@ def stream_stream_join(spark: SparkSession, input_path: str,
                 (F.unix_timestamp("t2") - F.unix_timestamp("t1"))
                 .alias("lag_sec")))
     return run_to_scratch_parquet(joined, spark, "stream_join_")
+
+
+def stream_static_enrich(spark: SparkSession, events_path: str,
+                         customer_path: str,
+                         max_files_per_trigger: int | None = None
+                         ) -> DataFrame:
+    """STREAM-STATIC dimension enrichment: join the event stream to the
+    (batch) customer table per micro-batch — the standard streaming
+    enrichment shape.  Stateless: the static side is re-planned each
+    trigger (picking up dimension updates between batches) and small
+    enough to BROADCAST, so no watermark and no join state exist at
+    all, and append mode needs no aggregation semantics; the stream
+    side never shuffles.  value is floored to integer cents so the row
+    set is bit-portable; over AvailableNow input the result equals the
+    plain batch join, which the DuckDB twin recomputes."""
+    stream = _event_stream(spark, events_path, max_files_per_trigger)
+    dims = F.broadcast(
+        spark.read.parquet(customer_path)
+        .select(F.col("c_custkey").alias("user_id"),
+                F.col("c_nationkey").cast("long").alias("nation")))
+    enriched = (stream.join(dims, "user_id")
+                .select("event_id", "user_id", "nation", "event_type",
+                        F.floor(F.col("value") * 100).cast("long")
+                        .alias("value_cents")))
+    return run_to_scratch_parquet(enriched, spark, "stream_enrich_")

@@ -418,3 +418,43 @@ def test_stream_stream_join_across_batches(spark, tmp_path):
     single = {(r["user_id"], r["lag_sec"])
               for r in stream_stream_join(spark, in_dir).collect()}
     assert single == got
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """Stateless stream-static enrichment: the per-micro-batch
+    broadcast dimension join over split input equals the plain batch
+    join, and unmatched stream rows drop (inner semantics)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ocr_proofreader_spark.streaming.windowed import stream_static_enrich
+
+    ev_src = "/root/testdata/sf0.001/events.parquet"
+    cust_src = "/root/testdata/sf0.001/customer.parquet"
+    if not (os.path.exists(ev_src) and os.path.exists(cust_src)):
+        pytest.skip("driver testdata missing")
+    ev = spark.read.parquet(ev_src)
+    in_dir = str(tmp_path / "ev_in")
+    os.makedirs(in_dir)
+    half = ev.agg(F.expr("percentile(event_id, 0.5)")).first()[0]
+    for name, sub in (("b0", ev.filter(F.col("event_id") <= half)),
+                      ("b1", ev.filter(F.col("event_id") > half))):
+        d = str(tmp_path / name)
+        sub.coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(d, part),
+                  os.path.join(in_dir, f"{name}.parquet"))
+
+    got = sorted(tuple(r) for r in stream_static_enrich(
+        spark, in_dir, cust_src, max_files_per_trigger=1).collect())
+    cust = (spark.read.parquet(cust_src)
+            .select(F.col("c_custkey").alias("user_id"),
+                    F.col("c_nationkey").cast("long").alias("nation")))
+    batch = (ev.join(cust, "user_id")
+             .select("event_id", "user_id", "nation", "event_type",
+                     F.floor(F.col("value") * 100).cast("long")
+                     .alias("value_cents")))
+    expected = sorted(tuple(r) for r in batch.collect())
+    assert got == expected and len(got) > 0
