@@ -1023,6 +1023,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # watermarked STREAM-STREAM interval inner join (click-to-
         # purchase attribution); state bounded by watermark + horizon
         "stream_stream_join": _stream_stream_join,
+        # LEFT OUTER variant: unconverted clicks emit null-right rows
+        # once the global watermark passes their match window
+        "stream_stream_join_outer": lambda s, d: __import__(
+            "ocr_proofreader_spark.streaming.windowed",
+            fromlist=["stream_stream_join_outer"]).stream_stream_join_outer(
+                s, os.path.join(d, "events.parquet"),
+                max_files_per_trigger=1),
         # STREAM-STATIC broadcast dimension enrichment (stateless)
         "stream_static_enrich": lambda s, d: __import__(
             "ocr_proofreader_spark.streaming.windowed",
@@ -1233,6 +1240,47 @@ def extra_oracle_sql() -> dict[str, str]:
              AND e2.event_type = 'purchase'
              AND e2.ts >= e1.ts
              AND e2.ts <= e1.ts + INTERVAL 30 MINUTE""",
+        # twin of stream_stream_join_outer: matched pairs plus
+        # unmatched clicks whose match window closed under the FINAL
+        # GLOBAL watermark — which is min(max left ts, max right ts) -
+        # delay (Spark's default min-across-inputs watermark policy;
+        # empirically pinned: max-across-inputs over-emits by one row
+        # on this corpus).  Unmatched clicks past the line never emit.
+        "stream_stream_join_outer": """
+            WITH wm AS (
+              SELECT least(
+                       max(CASE WHEN event_type = 'click'
+                                THEN ts END),
+                       max(CASE WHEN event_type = 'purchase'
+                                THEN ts END))
+                     - INTERVAL 30 MINUTE AS w
+              FROM events),
+            clicks AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            pairs AS (
+              SELECT c.user_id, c.ts AS t1, p.ts AS t2
+              FROM clicks c JOIN events p
+                ON p.event_type = 'purchase'
+               AND p.user_id = c.user_id
+               AND p.ts >= c.ts
+               AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+            unmatched AS (
+              SELECT c.user_id, c.ts AS t1
+              FROM clicks c ANTI JOIN pairs m
+                ON c.user_id = m.user_id AND c.ts = m.t1)
+            SELECT user_id,
+                   CAST(floor(epoch(t1)) AS BIGINT) AS click_epoch,
+                   CAST(floor(epoch(t2)) AS BIGINT) AS purchase_epoch,
+                   CAST(floor(epoch(t2)) - floor(epoch(t1))
+                        AS BIGINT) AS lag_sec
+            FROM pairs
+            UNION ALL
+            SELECT u.user_id,
+                   CAST(floor(epoch(u.t1)) AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT)
+            FROM unmatched u, wm
+            WHERE u.t1 + INTERVAL 30 MINUTE < wm.w""",
         # twin of streaming.windowed.stream_static_enrich: the
         # stateless per-batch dimension join equals the batch join
         "stream_static_enrich": """

@@ -179,3 +179,46 @@ def stream_static_enrich(spark: SparkSession, events_path: str,
                         F.floor(F.col("value") * 100).cast("long")
                         .alias("value_cents")))
     return run_to_scratch_parquet(enriched, spark, "stream_enrich_")
+
+
+def stream_stream_join_outer(spark: SparkSession, input_path: str,
+                             left_type: str = "click",
+                             right_type: str = "purchase",
+                             horizon_minutes: int = 30,
+                             delay: str = "30 minutes",
+                             max_files_per_trigger: int | None = None
+                             ) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join: like
+    :func:`stream_stream_join`, but clicks with NO purchase in the
+    horizon also emit (null right side) — the attribution report that
+    includes unconverted clicks.
+
+    Outer-ness needs the watermark: a null row for a click can only
+    emit once the engine KNOWS no match can still arrive, i.e. when
+    the global watermark passes the click's match window.  Over a
+    finite AvailableNow input the emitted set is therefore matched
+    pairs PLUS unmatched clicks whose window closed under the FINAL
+    watermark (max event time - delay); unmatched clicks after that
+    line never emit — pinned empirically and recomputed by the DuckDB
+    twin's filtered anti-join."""
+    left = (_event_stream(spark, input_path, max_files_per_trigger)
+            .filter(F.col("event_type") == left_type)
+            .select(F.col("user_id").alias("u1"),
+                    F.col("ts").alias("t1"))
+            .withWatermark("t1", delay))
+    right = (_event_stream(spark, input_path, max_files_per_trigger)
+             .filter(F.col("event_type") == right_type)
+             .select(F.col("user_id").alias("u2"),
+                     F.col("ts").alias("t2"))
+             .withWatermark("t2", delay))
+    joined = (left.join(
+        right,
+        F.expr(f"u1 = u2 AND t2 >= t1 AND "
+               f"t2 <= t1 + interval {horizon_minutes} minutes"),
+        "leftOuter")
+        .select(F.col("u1").alias("user_id"),
+                F.unix_timestamp("t1").alias("click_epoch"),
+                F.unix_timestamp("t2").alias("purchase_epoch"),
+                (F.unix_timestamp("t2") - F.unix_timestamp("t1"))
+                .alias("lag_sec")))
+    return run_to_scratch_parquet(joined, spark, "stream_join_outer_")

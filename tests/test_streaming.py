@@ -458,3 +458,45 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
                      .alias("value_cents")))
     expected = sorted(tuple(r) for r in batch.collect())
     assert got == expected and len(got) > 0
+
+
+def test_stream_stream_join_outer_null_emission(spark, tmp_path):
+    """Left-outer join null emission: an unmatched click emits a
+    null-right row ONLY once the global watermark (min of both
+    streams' maxima minus delay) passes its match window — old
+    unconverted clicks emit, recent ones stay suppressed."""
+    import datetime as dt
+    import os
+
+    from ocr_proofreader_spark.streaming.windowed import \
+        stream_stream_join_outer
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes, user, etype):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, etype,
+                1.0, "{}")
+    rows = [
+        ev(8, -90, 5, "click"),                            # old: null row
+        ev(0, 0, 1, "click"), ev(1, 10, 1, "purchase"),    # pair
+        ev(2, 5, 2, "click"), ev(3, 50, 2, "purchase"),    # > horizon
+        ev(4, 20, 3, "purchase"), ev(5, 25, 3, "click"),   # wrong order
+        ev(6, 30, 4, "click"), ev(7, 31, 4, "purchase"),   # pair
+    ]
+    # final watermark = min(max click 12:30, max purchase 12:31) - 30min
+    # = 12:00 -> only the -90min click's window (-60min) has closed;
+    # users 2/3's unmatched clicks stay suppressed
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    in_dir = str(tmp_path / "ssjo_in")
+    os.makedirs(in_dir)
+    for name, subset in (("b0", rows[:4]), ("b1", rows[4:])):
+        d = str(tmp_path / name)
+        spark.createDataFrame(subset, schema).coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(d, part),
+                  os.path.join(in_dir, f"{name}.parquet"))
+    got = {(r["user_id"], r["lag_sec"])
+           for r in stream_stream_join_outer(
+               spark, in_dir, max_files_per_trigger=1).collect()}
+    assert got == {(1, 600), (4, 60), (5, None)}
