@@ -1,7 +1,9 @@
 """Pure-Python image codecs for the multimodal decode stage.
 
-The container has no image libraries, but three classic formats are
-parseable with nothing beyond the stdlib + numpy:
+The container has no image libraries, but the classic formats are
+parseable with nothing beyond the stdlib + numpy (JPEG and GIF live in
+their own modules, functions/jpeg.py and functions/gif.py; this module
+holds the magic-byte dispatch for all of them):
 
 * **PPM/PGM (P6/P5 binary)** — the netpbm formats every scanner
   toolchain can emit;
@@ -271,6 +273,9 @@ def sniff_and_decode(data: bytes) -> np.ndarray:
     if data[:2] == b"\xff\xd8":
         from ocr_proofreader_spark.functions.jpeg import decode_jpeg
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from ocr_proofreader_spark.functions.gif import decode_gif
+        return decode_gif(data)
     raise CodecError(f"unknown image magic {data[:2]!r}")
 
 

