@@ -987,6 +987,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_token_sketch": lambda s, d: ops.distinct_token_sketch(
             _t(s, d, "documents")),
         "range_join": lambda s, d: _range_join(s, d),
+        # round-4 relational patterns: EXISTS semi-join, outer-join
+        # distribution, decorrelated subquery with exact integer compare
+        "late_shipment_orders": lambda s, d: _rel(s).late_shipment_orders(
+            _t(s, d, "orders"), _t(s, d, "lineitem")),
+        "order_count_distribution": lambda s, d:
+            _rel(s).order_count_distribution(
+                _t(s, d, "customer"), _t(s, d, "orders")),
+        "above_avg_balance": lambda s, d: _rel(s).above_avg_balance(
+            _t(s, d, "customer")),
         "minhash_jaccard_estimate": lambda s, d:
             ops.minhash_jaccard_estimate(_t(s, d, "documents")),
         # rotated OUT of the driver 50 in round 4 (displaced by
@@ -1112,6 +1121,11 @@ def _media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_proofreader_spark.operators import relational as rel
     return rel.range_join_events(_t(spark, sf_dir, "events"))
+
+
+def _rel(spark):
+    from ocr_proofreader_spark.operators import relational as rel
+    return rel
 
 
 def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1240,6 +1254,37 @@ def extra_oracle_sql() -> dict[str, str]:
              AND e2.event_type = 'purchase'
              AND e2.ts >= e1.ts
              AND e2.ts <= e1.ts + INTERVAL 30 MINUTE""",
+        # twins of the round-4 relational patterns
+        "late_shipment_orders": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority""",
+        "order_count_distribution": """
+            SELECT c_count, count(*) AS n_customers
+            FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                  FROM customer c LEFT JOIN orders o
+                    ON c.c_custkey = o.o_custkey
+                  GROUP BY c.c_custkey)
+            GROUP BY c_count""",
+        # exact integer cross-multiplication replaces the double
+        # average so the above-mean predicate cannot flip on ulps
+        "above_avg_balance": """
+            WITH cents AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer),
+            pn AS (SELECT c_nationkey, CAST(sum(cents) AS BIGINT)
+                              AS sum_cents,
+                          count(*) AS n
+                   FROM cents GROUP BY c_nationkey)
+            SELECT c.c_nationkey, count(*) AS n_above,
+                   CAST(max(c.cents) AS BIGINT) AS max_cents
+            FROM cents c JOIN pn USING (c_nationkey)
+            WHERE c.cents * n > sum_cents
+            GROUP BY c.c_nationkey""",
         # twin of stream_stream_join_outer: matched pairs plus
         # unmatched clicks whose match window closed under the FINAL
         # GLOBAL watermark — which is min(max left ts, max right ts) -

@@ -221,3 +221,56 @@ def range_join_events(events: DataFrame, window_sec: int = 3600,
             .agg(F.sum(F.when(in_range, 1).otherwise(0))
                  .cast("long").alias("n_views_prior_hour"))
             .select(F.col("user_id"), "event_id", "n_views_prior_hour"))
+
+
+def late_shipment_orders(orders: DataFrame,
+                         lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 flavor: per order priority, how many orders have at
+    least one line item shipped AFTER the order date (an EXISTS
+    correlated subquery, planned as a LEFT SEMI join — the duplicate-
+    free exists-check shape; at scale both sides shuffle once on the
+    order key with the semi join suppressing the fanout a plain join
+    + distinct would pay)."""
+    late = orders.join(
+        lineitem,
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate > orders.o_orderdate),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders")))
+
+
+def order_count_distribution(customer: DataFrame,
+                             orders: DataFrame) -> DataFrame:
+    """TPC-H Q13: the distribution of orders-per-customer INCLUDING
+    zero-order customers — the left outer join + double aggregation
+    pattern (join fanout aggregated per customer, then histogrammed)."""
+    per_cust = (customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("n_customers")))
+
+
+def above_avg_balance(customer: DataFrame) -> DataFrame:
+    """Correlated-subquery pattern (customers above their NATION's
+    average balance) decorrelated into one aggregate + join, with the
+    comparison done in EXACT integer arithmetic: c_cents * n_nation >
+    sum_cents_nation cross-multiplies away the division, so the result
+    cannot flip on ulp differences between engines' double averages
+    (a customer exactly AT the mean is excluded identically
+    everywhere)."""
+    cents = F.floor(F.col("c_acctbal") * 100).cast("long")
+    per_nation = (customer
+                  .select("c_nationkey", cents.alias("cents"))
+                  .groupBy("c_nationkey")
+                  .agg(F.sum("cents").alias("sum_cents"),
+                       F.count("*").alias("n")))
+    return (customer
+            .select("c_custkey", "c_nationkey", cents.alias("cents"))
+            .join(per_nation, "c_nationkey")
+            .filter(F.col("cents") * F.col("n") > F.col("sum_cents"))
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_above"),
+                 F.max("cents").alias("max_cents")))

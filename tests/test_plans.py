@@ -310,3 +310,35 @@ def test_round4_ops_plan_shapes(spark):
     plan = P.physical_plan(qf)
     assert "CartesianProduct" not in plan
     assert P.has_partial_aggregate(qf)
+
+
+def test_relational_patterns_plan_shapes(spark):
+    """The EXISTS check plans as a LEFT SEMI join (never join+distinct
+    fanout), the distribution query keeps partial aggregates, and the
+    decorrelated above-average query broadcasts its nation-sized
+    aggregate side."""
+    import os
+
+    import pytest
+
+    from ocr_proofreader_spark.operators import relational as rel
+    src = "/root/testdata/sf0.001"
+    if not os.path.isdir(src):
+        pytest.skip("driver testdata missing")
+    orders = spark.read.parquet(os.path.join(src, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
+    customer = spark.read.parquet(os.path.join(src, "customer.parquet"))
+
+    late = rel.late_shipment_orders(orders, lineitem)
+    plan = P.physical_plan(late)
+    assert "LeftSemi" in plan
+    assert P.has_partial_aggregate(late)
+
+    dist = rel.order_count_distribution(customer, orders)
+    assert P.has_partial_aggregate(dist)
+    assert "CartesianProduct" not in P.physical_plan(dist)
+
+    above = rel.above_avg_balance(customer)
+    plan = P.physical_plan(above)
+    assert "BroadcastHashJoin" in plan
+    assert P.has_partial_aggregate(above)
