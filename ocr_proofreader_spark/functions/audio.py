@@ -55,6 +55,11 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
                          f"(PCM only)")
     if channels not in (1, 2):
         raise CodecError(f"unsupported channel count {channels}")
+    if rate == 0:
+        # downstream duration math divides by rate; a parseable header
+        # declaring 0 Hz must be a classified per-row codec error, not
+        # a ZeroDivisionError escaping the stage's poison isolation
+        raise CodecError("invalid WAV sample rate 0")
     if bits == 8:
         s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
              - 128.0) / 128.0

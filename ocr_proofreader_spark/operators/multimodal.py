@@ -109,9 +109,12 @@ def decode_media_bytes(media: DataFrame, feature_dim: int = 8,
                     feats = band_features(px, feature_dim)
                     rows.append((doc_id, ref, page, px.shape[1],
                                  px.shape[0], feats.tolist(), None))
-                # ValueError too: any malformed-payload parse error must
-                # isolate to THIS row, never fail the stage
-                except (CodecError, ValueError) as e:
+                # struct.error/IndexError too: a malformed segment can
+                # slip past length guards into struct.unpack / slicing
+                # (e.g. SOF0 declaring ln=5) — every malformed-payload
+                # parse error must isolate to THIS row, never the stage
+                except (CodecError, ValueError, struct.error,
+                        IndexError) as e:
                     if on_error == "fail":
                         raise
                     rows.append((doc_id, ref, page, None, None, None,
@@ -306,7 +309,8 @@ def decode_audio_bytes(media: DataFrame, feature_dim: int = 8,
                     n = len(samples)
                     rows.append((doc_id, ref, rate, n,
                                  1000 * n // rate, feats.tolist(), None))
-                except (CodecError, ValueError, struct.error) as e:
+                except (CodecError, ValueError, struct.error,
+                        IndexError, ZeroDivisionError) as e:
                     if on_error == "fail":
                         raise
                     rows.append((doc_id, ref, None, None, None, None,
@@ -386,7 +390,8 @@ def sample_frames_real(media: DataFrame, n_frames: int = 4,
                         rows.append((doc_id, ref, idx, t_ms,
                                      px.shape[1], px.shape[0],
                                      feats.tolist(), None))
-                except (CodecError, ValueError) as e:
+                except (CodecError, ValueError, struct.error,
+                        IndexError) as e:
                     if on_error == "fail":
                         raise
                     rows.append((doc_id, ref, None, None, None, None,

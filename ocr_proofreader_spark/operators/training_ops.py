@@ -498,11 +498,23 @@ def minhash_candidates(docs: DataFrame, bands: int = 4,
     docs behind one signature) are DROPPED before the self-join —
     standard LSH practice, and the thing that keeps the join O(sum of
     bucket^2) bounded at 10^12 docs.  The DuckDB oracle applies the same
-    cap, so results stay bit-identical."""
+    cap, so results stay bit-identical.
+
+    Scale shape of the cap itself: bucket sizes come from a
+    ``groupBy(band, sig).count()`` — a partial+final hash aggregate
+    that map-side-reduces a 10^9-row degenerate bucket to one partial
+    per task instead of dragging every copy into a single Window
+    partition to count it.  Buckets over the cap form a tiny blacklist
+    (at most ``n_rows / max_bucket`` entries, in practice a handful),
+    removed with a broadcast left-anti join — so no shuffle of the
+    signature table keys on the skewed (band, sig) key ever happens
+    for the hot buckets.  A plan test pins Window absent from this
+    operator's plan."""
     sig = minhash_signatures(docs, bands)
-    w = Window.partitionBy("band", "sig")
-    capped = (sig.withColumn("_n", F.count("*").over(w))
-              .filter(F.col("_n") <= max_bucket).drop("_n"))
+    blacklist = (sig.groupBy("band", "sig").count()
+                 .filter(F.col("count") > max_bucket)
+                 .select("band", "sig"))
+    capped = sig.join(F.broadcast(blacklist), ["band", "sig"], "left_anti")
     a = capped.alias("a")
     b = capped.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -610,6 +622,18 @@ def simhash_near_dup(docs: DataFrame, bits: int = 16,
     banding argument, not just the arithmetic."""
     n_bands = max_hamming + 2
     width = bits // n_bands + (1 if bits % n_bands else 0)
+    # ceil-division width can leave trailing bands entirely past the
+    # fingerprint (e.g. bits=16, max_hamming=3 -> 5 bands of width 4:
+    # band 4 shifts by 16 and is constant 0 for EVERY doc — one bucket
+    # holding all rows, an O(n^2) join).  Drop those bands; pigeonhole
+    # still holds because the surviving ceil(bits/width) bands tile the
+    # whole fingerprint, so <= max_hamming flipped bits leave >= 1
+    # intact band as long as n_bands > max_hamming — asserted here.
+    n_bands = min(n_bands, -(-bits // width))
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"simhash_near_dup: bits={bits} cannot support "
+            f"max_hamming={max_hamming} losslessly with banding")
     sh = simhash_wide(docs, bits)
     bands = sh.select(
         "doc_id", "simhash",
