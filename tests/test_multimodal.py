@@ -440,3 +440,73 @@ def test_gif_codec_roundtrip_and_poison():
     bad[desc + 9] |= 0x40
     with pytest.raises(CodecError, match="interlaced"):
         decode_gif(bytes(bad))
+
+
+def test_poison_isolation_advice_cases(spark):
+    """Round-4 advisor escapes: (a) a WAV declaring sample_rate=0 parses
+    but must classify as a per-row codec error, not a stage-killing
+    ZeroDivisionError; (b) a JPEG segment whose declared length passes
+    the ln-2 check but underfeeds struct.unpack (SOF0 with ln=5) must
+    isolate via the widened catch tuple."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from ocr_proofreader_spark.functions.audio import decode_wav, encode_wav
+    from ocr_proofreader_spark.functions.codecs import CodecError
+    from ocr_proofreader_spark.operators.multimodal import (
+        decode_audio_bytes, decode_media_bytes)
+
+    # (a) rate=0 WAV: patch the fmt chunk's sample-rate field in place
+    good = bytearray(encode_wav(np.zeros((100, 1))))
+    struct.pack_into("<I", good, 24, 0)          # fmt sample_rate := 0
+    with pytest.raises(CodecError, match="rate"):
+        decode_wav(bytes(good))
+    bad_wav = spark.createDataFrame(
+        [("d", "z.wav", 0, bytes(good))],
+        "doc_id string, media_ref string, page int, payload binary")
+    rows = decode_audio_bytes(bad_wav).collect()
+    assert rows[0]["error"] and rows[0]["sample_rate"] is None
+
+    # (b) truncated-SOF0 JPEG: SOI + SOF0 declaring ln=5 (passes ln>=2,
+    # struct.unpack('>HH', seg[1:5]) then sees only 2 bytes)
+    evil = b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 5) + b"\x08\x00"
+    bad_img = spark.createDataFrame(
+        [("d", "z.jpg", 0, evil)],
+        "doc_id string, media_ref string, page int, payload binary")
+    rows = decode_media_bytes(bad_img).collect()
+    assert rows[0]["error"] is not None and rows[0]["width"] is None
+
+
+def test_simhash_near_dup_band_overflow(spark):
+    """bits=16 / max_hamming=3 used to produce a 5th band shifted past
+    the fingerprint (constant 0 -> one bucket holding every doc).  The
+    banding must stay within the fingerprint, keep >= max_hamming+1
+    bands (pigeonhole losslessness), and agree with the quadratic
+    exact join."""
+    import pytest
+
+    from ocr_proofreader_spark.operators import training_ops as ops
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}{'x' if (i + j) % 7 == 0 else ''}"
+                      for j in range(12)))
+         for i in range(30)], "doc_id long, text string")
+    got = {(r["d1"], r["d2"], r["hamming"])
+           for r in ops.simhash_near_dup(docs, bits=16,
+                                         max_hamming=3).collect()}
+    # quadratic oracle on the same fingerprints
+    from pyspark.sql import functions as F
+    sh = ops.simhash_wide(docs, 16)
+    a = sh.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"))
+    b = sh.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"))
+    exact = {(r["d1"], r["d2"], r["hamming"]) for r in
+             (a.crossJoin(b).filter(F.col("d1") < F.col("d2"))
+              .select("d1", "d2",
+                      F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+                      .cast("long").alias("hamming"))
+              .filter(F.col("hamming") <= 3)).collect()}
+    assert got == exact
+    # unsupportable combos must refuse rather than silently go O(n^2)
+    with pytest.raises(ValueError):
+        ops.simhash_near_dup(docs, bits=4, max_hamming=4)
