@@ -1024,6 +1024,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames_real": lambda s, d: _media_frames_real(s, d),
         "pii_scrub": lambda s, d: ops.pii_scrub(
             ops.synth_pii(_t(s, d, "documents"))),
+        # REAL scanned-page PDF leg: text layer + image XObject behind
+        # a doc_id-rotating /DCTDecode | /FlateDecode | /LZWDecode
+        # filter, decoded back by the repo's own JPEG / zlib / PDF-LZW
+        # codecs; solid colors make every pixel md5-derivable by the
+        # twin without it seeing PDF bytes
+        "pdf_image_roundtrip": lambda s, d: __import__(
+            "ocr_proofreader_spark.operators.extraction",
+            fromlist=["pdf_image_roundtrip"]).pdf_image_roundtrip(
+                _t(s, d, "documents")),
         "benchmark_contamination": lambda s, d: ops.benchmark_contamination(
             _t(s, d, "documents")),
         # NATIVE session_window + watermark sessionizer (late-data-
@@ -1155,7 +1164,46 @@ def extra_oracle_sql() -> dict[str, str]:
         f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
         for b in range(16))
     pii_h = "md5(CAST(doc_id AS VARCHAR))"
+    did = "CAST(doc_id AS VARCHAR)"
     return {
+        # twin of extraction.pdf_image_roundtrip: the synth image is a
+        # solid color whose bytes, shape, filter and channel count are
+        # all md5(doc_id)-derived, and all three stream filters are
+        # lossless for solid colors — so the twin recomputes the
+        # decoded-pixel digest arithmetically, never touching a PDF
+        "pdf_image_roundtrip": f"""
+            WITH b AS (
+              SELECT doc_id, text,
+                     {_md5_byte(did, 0)} AS b0, {_md5_byte(did, 1)} AS b1,
+                     {_md5_byte(did, 2)} AS b2, {_md5_byte(did, 3)} AS b3,
+                     {_md5_byte(did, 4)} AS b4, {_md5_byte(did, 5)} AS b5,
+                     CASE doc_id % 3 WHEN 0 THEN 'DCTDecode'
+                          WHEN 1 THEN 'FlateDecode'
+                          ELSE 'LZWDecode' END AS filt
+              FROM documents),
+            g AS (
+              SELECT doc_id, text, filt,
+                     CAST(8 + b1 % 9 AS INTEGER) AS img_w,
+                     CAST(8 + b2 % 9 AS INTEGER) AS img_h,
+                     CAST(CASE WHEN filt = 'DCTDecode' THEN 1
+                          ELSE 1 + 2 * (b3 % 2) END AS INTEGER) AS img_ch,
+                     CASE WHEN filt != 'DCTDecode' AND b3 % 2 = 1
+                          THEN b0 || ',' || b4 || ',' || b5
+                          ELSE CAST(b0 AS VARCHAR) END AS pix
+              FROM b)
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL ELSE filt END
+                       AS img_filter,
+                   CASE WHEN text IS NULL THEN NULL ELSE img_w END
+                       AS img_w,
+                   CASE WHEN text IS NULL THEN NULL ELSE img_h END
+                       AS img_h,
+                   CASE WHEN text IS NULL THEN NULL ELSE img_ch END
+                       AS img_ch,
+                   CASE WHEN text IS NULL THEN NULL ELSE md5(pix) END
+                       AS pix_digest,
+                   md5(text) AS pdf_text_digest
+            FROM g""",
         # twin of training_ops.repetition_metrics (Gopher/C4 repetition
         # signals): same 2-gram definition, integer counts throughout
         "repetition_metrics": f"""

@@ -133,3 +133,65 @@ def extract_main_sql(min_text: int = 30) -> str:
                      and not regexp_matches(p.raw, '{_CHROME}')],
                  chr(10)), '')) AS main_digest
         FROM page"""
+
+
+def pdf_image_roundtrip(docs: DataFrame) -> DataFrame:
+    """Scanned-page PDF plumbing end-to-end (north_rule: "PDF/layout
+    parse" over a scanned-book domain where the page IS an image):
+    write each doc's text into a single-page PDF that ALSO embeds a
+    solid-color image XObject whose filter rotates by doc_id across
+    /DCTDecode (the repo's baseline-JPEG codec), /FlateDecode and
+    /LZWDecode (the PDF-flavor MSB-first LZW codec) — then parse both
+    layers back and emit md5 digests of the recovered pixel value and
+    text.  Solid colors round-trip bit-exactly through all three
+    filters (the JPEG encoder's all-ones quant tables make constant
+    blocks lossless), so the DuckDB twin can recompute every output
+    column from md5(doc_id) arithmetic without ever seeing PDF bytes —
+    a full-strength hash gate over codec + container + parser.  One
+    Arrow-batched map stage, no shuffle; corrupt/odd rows isolate via
+    the NULL-text path like the text roundtrip."""
+    import hashlib
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ocr_proofreader_spark.functions.pdf import (extract_pdf_images,
+                                                     extract_pdf_text,
+                                                     synth_pdf_with_image)
+    filters = ("DCTDecode", "FlateDecode", "LZWDecode")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                if t is None:
+                    rows.append((d, None, None, None, None, None, None))
+                    continue
+                hb = hashlib.md5(str(d).encode()).digest()
+                filt = filters[d % 3]
+                w, h = 8 + hb[1] % 9, 8 + hb[2] % 9
+                # JPEG leg stays grayscale: the YCbCr transform rounds
+                # RGB by +-1, gray is the exactness-guaranteed path
+                nc = 1 if filt == "DCTDecode" else 1 + 2 * (hb[3] % 2)
+                color = (hb[0],) if nc == 1 else (hb[0], hb[4], hb[5])
+                px = np.empty((h, w, nc), np.uint8)
+                px[:] = color
+                blob = synth_pdf_with_image(t, px, filt,
+                                            compress_text=d % 2 == 0)
+                imgs = extract_pdf_images(blob)
+                assert len(imgs) == 1 and (imgs[0] == px).all()
+                gh, gw, gnc = imgs[0].shape
+                pix = ",".join(str(int(v)) for v in imgs[0][0, 0])
+                rows.append((
+                    d, filt, gw, gh, gnc,
+                    hashlib.md5(pix.encode()).hexdigest(),
+                    hashlib.md5(
+                        extract_pdf_text(blob).encode()).hexdigest()))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "img_filter", "img_w", "img_h", "img_ch",
+                "pix_digest", "pdf_text_digest"])
+    return (docs.select("doc_id", "text")
+            .mapInPandas(fn, "doc_id long, img_filter string, "
+                             "img_w int, img_h int, img_ch int, "
+                             "pix_digest string, pdf_text_digest string"))

@@ -155,3 +155,100 @@ def test_pdf_flate_roundtrip_property():
     with pytest.raises(PdfError):
         extract_pdf_text(b"%PDF-1.4\n1 0 obj\n<< /Filter /DCTDecode >>\n"
                          b"stream\nxx\nendstream\nendobj")
+
+
+def test_pdf_lzw_codec():
+    """PDF-flavor LZW: the ISO 32000-1 worked example is pinned as a
+    byte vector (MSB-first, EarlyChange=1), roundtrips cross all code-
+    width bumps and the 12-bit table-full clear, and truncation/garbage
+    classify as PdfError."""
+    import random
+
+    import pytest
+
+    from ocr_proofreader_spark.functions.pdf import (PdfError,
+                                                     lzw_decode_pdf,
+                                                     lzw_encode_pdf)
+    v = bytes([45, 45, 45, 45, 45, 65, 45, 45, 45, 66])
+    enc = lzw_encode_pdf(v)
+    assert enc.hex() == "800b6050220c0c8501"      # spec example
+    assert lzw_decode_pdf(enc) == v
+    rng = random.Random(11)
+    # 70k random bytes adds ~35k table entries: crosses 9->10->11->12
+    # and the clear-at-4096 reset; both EarlyChange settings
+    for n in (0, 1, 257, 70000):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        for ec in (0, 1):
+            assert lzw_decode_pdf(lzw_encode_pdf(data, ec), ec) == data
+    with pytest.raises(PdfError):
+        lzw_decode_pdf(enc[:3])                   # truncated mid-code
+    with pytest.raises(PdfError):
+        lzw_decode_pdf(b"\xff\xff\xff")           # code past table
+
+
+def test_pdf_image_xobject_roundtrip():
+    """All three image filters round-trip pixels bit-exactly (solid
+    colors through the all-ones-quant JPEG; arbitrary pixels through
+    Flate/LZW), the text layer coexists, and corrupt image streams
+    classify as PdfError."""
+    import numpy as np
+    import pytest
+
+    from ocr_proofreader_spark.functions.pdf import (PdfError,
+                                                     extract_pdf_images,
+                                                     extract_pdf_text,
+                                                     synth_pdf,
+                                                     synth_pdf_with_image)
+    rng = np.random.RandomState(3)
+    noise = rng.randint(0, 256, (11, 7, 3)).astype(np.uint8)
+    solid = np.full((13, 21, 1), 147, np.uint8)
+    for filt, px in (("DCTDecode", solid), ("FlateDecode", noise),
+                     ("LZWDecode", noise)):
+        blob = synth_pdf_with_image("page one\nline two", px, filt,
+                                    compress_text=True)
+        imgs = extract_pdf_images(blob)
+        assert len(imgs) == 1 and (imgs[0] == px).all(), filt
+        assert extract_pdf_text(blob) == "page one\nline two", filt
+    # a text-only PDF has no images; a non-PDF classifies
+    assert extract_pdf_images(synth_pdf("abc")) == []
+    with pytest.raises(PdfError):
+        extract_pdf_images(b"not a pdf")
+    # corrupt DCT stream -> PdfError, not a raw CodecError escape
+    blob = synth_pdf_with_image("t", solid, "DCTDecode")
+    corrupt = blob.replace(b"\xff\xd8", b"\xff\x00", 1)
+    with pytest.raises(PdfError):
+        extract_pdf_images(corrupt)
+    # truncated raw samples (Flate body shorter than W*H*ch)
+    import zlib
+    short = synth_pdf_with_image("t", solid, "FlateDecode")
+    good_img = zlib.compress(solid.tobytes(), 6)
+    bad_img = zlib.compress(solid.tobytes()[:-5], 6)
+    short = short.replace(
+        b"/Length " + str(len(good_img)).encode() + b" >>\nstream\n"
+        + good_img,
+        b"/Length " + str(len(bad_img)).encode() + b" >>\nstream\n"
+        + bad_img)
+    with pytest.raises(PdfError, match="shorter"):
+        extract_pdf_images(short)
+
+
+def test_pdf_image_roundtrip_stage(spark):
+    """The Spark stage: one mapInPandas pass, filter rotation by
+    doc_id, digests present, NULL text propagates NULLs."""
+    from ocr_proofreader_spark.operators.extraction import \
+        pdf_image_roundtrip
+    from ocr_proofreader_spark.plans import physical as P
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma"), (3, None)],
+        "doc_id long, text string")
+    out = pdf_image_roundtrip(docs)
+    assert P.count_exchanges(out) == 0
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["img_filter"] == "DCTDecode"
+    assert rows[1]["img_filter"] == "FlateDecode"
+    assert rows[2]["img_filter"] == "LZWDecode"
+    for d in (0, 1, 2):
+        assert rows[d]["pix_digest"] and rows[d]["pdf_text_digest"]
+        assert 8 <= rows[d]["img_w"] <= 16 and 8 <= rows[d]["img_h"] <= 16
+    assert rows[3]["img_filter"] is None
+    assert rows[3]["pix_digest"] is None
