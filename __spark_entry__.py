@@ -125,7 +125,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_proofreader_spark.operators import training_ops as ops
     from ocr_proofreader_spark.operators.extraction import (
-        extract_main_html, pdf_text_roundtrip, synth_html)
+        extract_main_html, pdf_image_roundtrip, pdf_text_roundtrip,
+        synth_html)
     from ocr_proofreader_spark.operators.multimodal import (
         decode_media, decode_media_bytes, media_inventory, resize_media,
         sample_frames, synth_payload)
@@ -200,6 +201,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_stream_closed": _sessionize_stream_closed,
         "windowed_counts_stream": _windowed_counts_stream,
         "dedup_stream_hashes": _dedup_stream_hashes,
+        # watermarked stream-stream interval joins, inner + left-outer
+        # (rotation r5: first driver rows for the 2-input stateful path)
+        "stream_stream_join": _stream_stream_join,
+        "stream_stream_join_outer": lambda s, d: __import__(
+            "ocr_proofreader_spark.streaming.windowed",
+            fromlist=["stream_stream_join_outer"]).stream_stream_join_outer(
+                s, os.path.join(d, "events.parquet"),
+                max_files_per_trigger=1),
         # multimodal plumbing — registered EARLY: the driver harness
         # verifies at most the first 50 keys in registration order, and
         # these sat at positions 51-53 in rounds 1-2 (never driver-
@@ -210,25 +219,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (still bit-exact-checked by the local gate).
         "media_inventory": lambda s, d: media_inventory(
             interleaved_from_flat(_t(s, d, "documents"))),
-        # the decode/resize/frames stages emit array<float> features; the
-        # contract projection digests them (driver canonicalizer cannot
-        # hash list cells) — the arrays themselves stay first-class in the
-        # operators and are pinned by tests/test_multimodal.py
-        "media_decode": lambda s, d: decode_media(media_inventory(
-            interleaved_from_flat(_t(s, d, "documents")))).select(
-                "doc_id", "media_ref", "page", "width", "height",
-                F.expr(_digest_arr("features")).alias("features_digest")),
-        "media_resize": lambda s, d: resize_media(decode_media(
-            media_inventory(interleaved_from_flat(
-                _t(s, d, "documents"))))).select(
-                "doc_id", "media_ref", "page", "width", "height",
-                F.expr(_digest_arr("features")).alias("features_digest"),
-                "out_width", "out_height", "scale"),
-        "media_frames": lambda s, d: sample_frames(media_inventory(
-            interleaved_from_flat(_t(s, d, "documents")))).select(
-                "doc_id", "media_ref", "frame_idx", "t_offset_sec",
-                F.expr(_digest_arr("frame_features"))
-                .alias("frame_features_digest")),
+        # Round-5 rotation (VERDICT r04 item 3): the md5-fake media legs
+        # media_decode / media_resize / media_frames move to
+        # extra_queries() (their real-codec successors media_decode_real
+        # below and media_audio_real / media_frames_real subsume the
+        # plumbing they proved); displaced slots go to never-driver-
+        # verified stream-stream joins, SimHash pairing, BPE merges,
+        # quality filter, stratified sampling and the scanned-page PDF
+        # image roundtrip.  All displaced queries keep bit-exact
+        # verification in the local gate (COVERAGE.md).
         # REAL codec path end-to-end: synthesize a deterministic solid
         # PPM per ref, parse it with the pure-Python codec, band-extract
         # features — every output value independently recomputed by the
@@ -266,22 +265,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", F.md5("main_text").alias("main_digest")),
         "pdf_text_roundtrip": lambda s, d: pdf_text_roundtrip(
             _t(s, d, "documents")),
-        # deduplication
-        "normalize_text": lambda s, d: ops.normalize_text(
+        # scanned-page PDF: text layer + image XObject behind a doc_id-
+        # rotating DCTDecode/FlateDecode/LZWDecode filter, decoded by
+        # the repo's own JPEG / zlib / PDF-LZW codecs (rotation r5)
+        "pdf_image_roundtrip": lambda s, d: pdf_image_roundtrip(
             _t(s, d, "documents")),
+        # deduplication (rotation r5: normalize_text -> extras, its NFC
+        # hash is the first step of line_dedup/doc_fingerprint lineage;
+        # minhash_signatures -> extras, bit-identically recomputed
+        # inside minhash_candidates; 8-bit simhash -> extras, its
+        # 16-bit successor simhash_near_dup verifies here)
         "dedup_exact": lambda s, d: ops.dedup_exact(_t(s, d, "documents")),
-        "minhash_signatures": lambda s, d: ops.minhash_signatures(
-            _t(s, d, "documents")),
         "minhash_candidates": lambda s, d: ops.minhash_candidates(
             _t(s, d, "documents")),
-        "simhash": lambda s, d: ops.simhash(_t(s, d, "documents")),
+        "simhash_near_dup": lambda s, d: ops.simhash_near_dup(
+            _t(s, d, "documents")),
         "ngram_jaccard": lambda s, d: ops.ngram_jaccard(
             _t(s, d, "documents")),
         "dedup_clusters": lambda s, d: ops.dedup_clusters(
             _t(s, d, "documents")),
-        # similarity search
-        "embedding_norms": lambda s, d: ops.embedding_norms(
-            _t(s, d, "embeddings")),
+        # corpus quality + mixing (rotation r5: first driver rows)
+        "quality_filter": lambda s, d: ops.quality_filter(
+            _t(s, d, "documents")),
+        "stratified_sample": lambda s, d: ops.stratified_sample(
+            _t(s, d, "documents")),
+        # text analysis: real rank-ordered BPE merges (rotation r5)
+        "token_count_bpe_merged": lambda s, d: ops.token_count_bpe_merged(
+            _t(s, d, "documents")),
+        # similarity search (rotation r5: embedding_norms -> extras,
+        # the l2 arithmetic is a sub-expression of cosine_all)
         "embedding_project": lambda s, d: ops.embedding_project(
             _t(s, d, "embeddings")),
         "cosine_all": lambda s, d: ops.cosine_to_query(
@@ -404,6 +416,35 @@ _HTML_MAIN_ORACLE = extract_main_sql()
 
 
 def oracle_sql() -> dict[str, str]:
+    """Oracles for the driver-verified registry: the shared pool
+    filtered by ``queries()`` keys.  Registry rotations (which query
+    sits inside the driver's 50-key cap) only ever touch ``queries()``
+    / ``extra_queries()`` — the pool is the single home of every SQL
+    twin, so a promotion can never orphan or duplicate its oracle.
+    Pool keys with no registry entry anywhere raise at build time;
+    registry keys with no pool entry are the intentional rows-only
+    set (non-SQL-expressible ops)."""
+    pool = _oracle_pool()
+    names = set(queries()) | set(extra_queries())
+    orphans = set(pool) - names
+    if orphans:
+        raise KeyError(f"oracles without a registered query: {orphans}")
+    return {k: pool[k] for k in queries() if k in pool}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """Oracles for the local-gate extras: same pool, extras' keys."""
+    pool = _oracle_pool()
+    return {k: pool[k] for k in extra_queries() if k in pool}
+
+
+def _oracle_pool() -> dict[str, str]:
+    d = _main_oracles()
+    d.update(_extra_oracles())
+    return d
+
+
+def _main_oracles() -> dict[str, str]:
     simhash_votes = ", ".join(
         f"sum(CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(8))
@@ -982,8 +1023,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")),
         "token_count_bpe": lambda s, d: ops.token_count_bpe(
             _t(s, d, "documents")),
-        "token_count_bpe_merged": lambda s, d: ops.token_count_bpe_merged(
-            _t(s, d, "documents")),
         "distinct_token_sketch": lambda s, d: ops.distinct_token_sketch(
             _t(s, d, "documents")),
         "range_join": lambda s, d: _range_join(s, d),
@@ -1004,16 +1043,38 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": lambda s, d: ops.token_count(_t(s, d, "documents")),
         "lang_guess": lambda s, d: ops.lang_guess(_t(s, d, "documents")),
         "ann_topk": lambda s, d: ops.ann_topk_brute(_t(s, d, "embeddings")),
-        # round-4 additions: SimHash near-dup pairing (lossless banding
-        # vs the twin's quadratic hamming join), PII scrub over
-        # deterministic injected fixtures, benchmark decontamination
-        "simhash_near_dup": lambda s, d: ops.simhash_near_dup(
+        # rotated OUT of the driver 50 in round 5 (displaced by the
+        # stream-stream joins / simhash_near_dup / quality_filter /
+        # stratified_sample / token_count_bpe_merged /
+        # pdf_image_roundtrip promotions); bit-exact verification
+        # continues here.  Subsumption notes: minhash_signatures is
+        # recomputed bit-identically inside minhash_candidates;
+        # embedding_norms' l2 is a sub-expression of cosine_all; the
+        # 8-bit simhash's vote arithmetic is generalized by
+        # simhash_wide under simhash_near_dup; the md5-fake media legs'
+        # plumbing is exercised by the real-codec media queries
+        "normalize_text": lambda s, d: ops.normalize_text(
             _t(s, d, "documents")),
-        "quality_filter": lambda s, d: ops.quality_filter(
+        "minhash_signatures": lambda s, d: ops.minhash_signatures(
             _t(s, d, "documents")),
-        # corpus data-mixing: deterministic hash-based stratified keep
-        "stratified_sample": lambda s, d: ops.stratified_sample(
-            _t(s, d, "documents")),
+        "simhash": lambda s, d: ops.simhash(_t(s, d, "documents")),
+        "embedding_norms": lambda s, d: ops.embedding_norms(
+            _t(s, d, "embeddings")),
+        "media_decode": lambda s, d: _mm(s).decode_media(
+            _mm(s).media_inventory(_ifl(s, d))).select(
+                "doc_id", "media_ref", "page", "width", "height",
+                F.expr(_digest_arr("features")).alias("features_digest")),
+        "media_resize": lambda s, d: _mm(s).resize_media(
+            _mm(s).decode_media(_mm(s).media_inventory(
+                _ifl(s, d)))).select(
+                "doc_id", "media_ref", "page", "width", "height",
+                F.expr(_digest_arr("features")).alias("features_digest"),
+                "out_width", "out_height", "scale"),
+        "media_frames": lambda s, d: _mm(s).sample_frames(
+            _mm(s).media_inventory(_ifl(s, d))).select(
+                "doc_id", "media_ref", "frame_idx", "t_offset_sec",
+                F.expr(_digest_arr("frame_features"))
+                .alias("frame_features_digest")),
         # REAL audio leg: deterministic constant-amplitude WAV per ref,
         # parsed by the pure-Python RIFF/PCM codec; constant signals
         # make every decoded value md5-derivable by the twin
@@ -1024,30 +1085,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames_real": lambda s, d: _media_frames_real(s, d),
         "pii_scrub": lambda s, d: ops.pii_scrub(
             ops.synth_pii(_t(s, d, "documents"))),
-        # REAL scanned-page PDF leg: text layer + image XObject behind
-        # a doc_id-rotating /DCTDecode | /FlateDecode | /LZWDecode
-        # filter, decoded back by the repo's own JPEG / zlib / PDF-LZW
-        # codecs; solid colors make every pixel md5-derivable by the
-        # twin without it seeing PDF bytes
-        "pdf_image_roundtrip": lambda s, d: __import__(
-            "ocr_proofreader_spark.operators.extraction",
-            fromlist=["pdf_image_roundtrip"]).pdf_image_roundtrip(
-                _t(s, d, "documents")),
         "benchmark_contamination": lambda s, d: ops.benchmark_contamination(
             _t(s, d, "documents")),
         # NATIVE session_window + watermark sessionizer (late-data-
         # tolerant production form of sessionize_stream_closed)
         "session_window_stream": _session_window_stream,
-        # watermarked STREAM-STREAM interval inner join (click-to-
-        # purchase attribution); state bounded by watermark + horizon
-        "stream_stream_join": _stream_stream_join,
-        # LEFT OUTER variant: unconverted clicks emit null-right rows
-        # once the global watermark passes their match window
-        "stream_stream_join_outer": lambda s, d: __import__(
-            "ocr_proofreader_spark.streaming.windowed",
-            fromlist=["stream_stream_join_outer"]).stream_stream_join_outer(
-                s, os.path.join(d, "events.parquet"),
-                max_files_per_trigger=1),
         # STREAM-STATIC broadcast dimension enrichment (stateless)
         "stream_static_enrich": lambda s, d: __import__(
             "ocr_proofreader_spark.streaming.windowed",
@@ -1137,6 +1179,17 @@ def _rel(spark):
     return rel
 
 
+def _mm(spark):
+    from ocr_proofreader_spark.operators import multimodal as mm
+    return mm
+
+
+def _ifl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_proofreader_spark.sources.interleaved import \
+        interleaved_from_flat
+    return interleaved_from_flat(_t(spark, sf_dir, "documents"))
+
+
 def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_proofreader_spark.streaming.windowed import stream_stream_join
     return stream_stream_join(
@@ -1152,7 +1205,7 @@ def _session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files_per_trigger=1)
 
 
-def extra_oracle_sql() -> dict[str, str]:
+def _extra_oracles() -> dict[str, str]:
     from ocr_proofreader_spark.operators.training_ops import (
         BPE_PATTERN, PII_EMAIL, PII_PHONE, bpe_seg_count_expr)
     bpe_pat = BPE_PATTERN.replace("'", "''")

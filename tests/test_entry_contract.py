@@ -63,9 +63,20 @@ def test_registry_fits_driver_window():
     must stay at EXACTLY 50 and the media queries inside the window."""
     qs = list(entrymod.queries())
     assert len(qs) == 50
-    for name in ("media_inventory", "media_decode", "media_resize",
-                 "media_frames", "media_decode_real"):
+    # round-5 rotation: the md5-fake media legs moved to extras; the
+    # real-codec leg and the promoted never-verified queries must sit
+    # inside the driver window
+    for name in ("media_inventory", "media_decode_real",
+                 "pdf_image_roundtrip", "simhash_near_dup",
+                 "stream_stream_join", "stream_stream_join_outer",
+                 "quality_filter", "stratified_sample",
+                 "token_count_bpe_merged"):
         assert qs.index(name) < 50
+    ex = entrymod.extra_queries()
+    for name in ("media_decode", "media_resize", "media_frames",
+                 "normalize_text", "minhash_signatures", "simhash",
+                 "embedding_norms"):
+        assert name in ex, f"displaced query {name} lost its local gate"
 
 
 def test_extra_queries_match_duckdb_oracles(spark):
