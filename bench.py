@@ -72,18 +72,15 @@ def main() -> None:
     # (A B C.. A B C..): this host's wall clock swings ~2-5x under
     # external noise (BENCH/BASELINE.md), and interleaving keeps one
     # noise burst from hitting every repeat of the same query
-    timings: dict[str, float] = {}
+    all_times: dict[str, list[float]] = {}
     outs: dict[str, int] = {}
-    repeats_used: dict[str, int] = {}
 
     def run_pass(job_list):
         for name, thunk in job_list:
             t0 = time.time()
             outs[name] = thunk()
             dt = round(time.time() - t0, 3)
-            repeats_used[name] = repeats_used.get(name, 0) + 1
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            all_times.setdefault(name, []).append(dt)
 
     for _ in range(3):
         run_pass(jobs)
@@ -96,25 +93,39 @@ def main() -> None:
     # the slow queries, keeps repeat counts equal across queries so
     # per-query deltas compare mins over the same N (ADVICE r03: a
     # slow-only re-run hides regressions relative to improvements).
-    noisy = any(n in prev and prev[n] > 0 and timings[n] > 1.25 * prev[n]
+    noisy = any(n in prev and prev[n] > 0
+                and min(all_times[n]) > 1.25 * prev[n]
                 for n, _ in jobs)
     if noisy:
         for _ in range(2):
             run_pass(jobs)
     n_out = outs["proofread_synth"]
 
+    def _median(xs: list[float]) -> float:
+        ys = sorted(xs)
+        m = len(ys) // 2
+        return ys[m] if len(ys) % 2 else (ys[m - 1] + ys[m]) / 2
+
+    # min is the headline (least-noise estimate on this host — see
+    # BENCH/BASELINE.md), median is recorded alongside so cross-round
+    # deltas can be judged without a re-run (VERDICT r04 item 7: the
+    # min-vs-recorded gap IS the host noise band, now visible per round)
+    timings = {n: min(ts) for n, ts in all_times.items()}
+    medians = {n: round(_median(ts), 3) for n, ts in all_times.items()}
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "value_median": round(sum(medians.values()), 3),
         "sf": sf,
         "synth_docs": n_docs,
         "synth_docs_out": n_out,
         "docs_per_sec": round(n_docs / timings["proofread_synth"], 1),
         "cpus": CPUS,
-        "repeats_used": repeats_used,
+        "repeats_used": {n: len(ts) for n, ts in all_times.items()},
     }
     if prev:
         # per-query delta vs the latest recorded round so regressions are

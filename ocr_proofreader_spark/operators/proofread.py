@@ -190,6 +190,21 @@ class _SegmentOnly(DocProofreader):
 def proofread_chunked(spark: SparkSession, docs: DataFrame, lex_bc,
                       cfg: RunConfig) -> DataFrame:
     """Skew path for very long books (rule R0 makes this exact)."""
+    corrected = chunked_corrected_spans(spark, docs, lex_bc, cfg)
+    # per-doc linear segmentation (R5/R6)
+    return corrected.groupBy("doc_id").applyInPandas(
+        _make_segment_fn(), DOCUMENTS_OUT_METRICS)
+
+
+def chunked_corrected_spans(spark: SparkSession, docs: DataFrame, lex_bc,
+                            cfg: RunConfig) -> DataFrame:
+    """The distributed CORRECTION stage of the skew path: explode to
+    spans, build per-book frequencies JVM-side, broadcast-join the freq
+    maps, spread spans across the cluster on (doc_id, offset) and
+    correct span-locally.  Exposed separately so tests can pin that a
+    giant book's expensive spell-scoring work really does fan out over
+    many tasks (only the cheap linear R5/R6 segmentation in
+    :func:`proofread_chunked` runs as one task per doc)."""
     lang_cols = ([F.col("lang")] if "lang" in docs.columns else [])
     spans = docs.select(
         "doc_id", *lang_cols,
@@ -215,15 +230,11 @@ def proofread_chunked(spark: SparkSession, docs: DataFrame, lex_bc,
     # broadcast-join the (few) giant books' freq maps onto their spans,
     # spread spans across the cluster, correct span-locally
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    corrected = (spans
-                 .join(F.broadcast(freq_maps), "doc_id", "left")
-                 .repartition(n_part, "doc_id", "offset")
-                 .mapInPandas(_make_correct_fn(lex_bc, cfg.freq_k),
-                              _CORRECTED_SPAN))
-
-    # per-doc linear segmentation (R5/R6)
-    return corrected.groupBy("doc_id").applyInPandas(
-        _make_segment_fn(), DOCUMENTS_OUT_METRICS)
+    return (spans
+            .join(F.broadcast(freq_maps), "doc_id", "left")
+            .repartition(n_part, "doc_id", "offset")
+            .mapInPandas(_make_correct_fn(lex_bc, cfg.freq_k),
+                         _CORRECTED_SPAN))
 
 
 # --------------------------------------------------------------------------

@@ -366,3 +366,42 @@ def test_minhash_candidates_no_hot_bucket_window(spark):
     assert "partial_count" in plan      # map-side reduced bucket sizes
     assert "BroadcastHashJoin" in plan  # the anti-join blacklist
     assert "LeftAnti" in plan
+
+
+def test_n_spans_column_prunes_branch_scans(spark, corpus_small,
+                                            base_lexicon, tmp_path):
+    """The fast/skew split normally needs size(spans), which no parquet
+    reader can push — at 100 TB that is a double full scan.  When the
+    input persists an n_spans column, BOTH branch filters must reach
+    the scan as pushed data filters (row-group min/max pruning), and
+    the output must be byte-identical to the size(spans) path."""
+    from pyspark.sql import functions as F
+
+    from ocr_proofreader_spark.config import RunConfig
+    from ocr_proofreader_spark.lexicon import broadcast_lexicon
+    from ocr_proofreader_spark.operators.proofread import proofread
+
+    docs = spark.read.parquet(f"{corpus_small}/documents.parquet")
+    with_col = docs.withColumn("n_spans", F.size("spans"))
+    dst = str(tmp_path / "docs_nspans")
+    with_col.write.parquet(dst)
+    docs2 = spark.read.parquet(dst)
+    assert "n_spans" in docs2.columns
+
+    cfg = RunConfig()
+    lex_bc = broadcast_lexicon(spark, base_lexicon)
+    out_plain = proofread(spark, docs, cfg, lex_bc)
+    out_pruned = proofread(spark, docs2, cfg, lex_bc)
+
+    # plan: every documents scan in the pruned variant carries an
+    # n_spans predicate in PushedFilters (both branches)
+    fmt = P.formatted_plan(out_pruned)
+    pushed = [ln.strip() for ln in fmt.splitlines()
+              if "PushedFilters" in ln and "n_spans" in ln]
+    assert any("LessThanOrEqual(n_spans" in ln for ln in pushed), fmt
+    assert any("GreaterThan(n_spans" in ln for ln in pushed), fmt
+
+    # results identical to the size(spans) route
+    a = sorted(out_plain.collect(), key=lambda r: r["doc_id"])
+    b = sorted(out_pruned.collect(), key=lambda r: r["doc_id"])
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]

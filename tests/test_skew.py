@@ -50,3 +50,42 @@ def test_small_docs_avoid_skew_branch_rows(spark, corpus_small,
     big = docs.filter(F.size("spans") > cfg.chunk_threshold_spans)
     lex_bc = broadcast_lexicon(spark, base_lexicon)
     assert proofread_chunked(spark, big, lex_bc, cfg).count() == 0
+
+
+def test_giant_book_correction_spreads_across_tasks(spark, base_lexicon):
+    """Scale evidence for the skew path (VERDICT r04 item 5): a single
+    book 10x past the chunk threshold must have its expensive
+    spell-scoring CORRECTION work spread across many tasks — one
+    straggler task holding the whole book is exactly what the skew
+    path exists to prevent.  Only the cheap linear R5/R6 segmentation
+    may run as the single per-doc task, and it must stay a small
+    fraction of end-to-end wall time."""
+    import time
+
+    from ocr_proofreader_spark.operators.proofread import (
+        chunked_corrected_spans, proofread_chunked)
+
+    cfg = RunConfig(chunk_threshold_spans=4096, chunk_spans=64)
+    spans = _giant_doc(n_repeats=820)          # ~10x the 4096 threshold
+    assert len(spans) >= 10 * cfg.chunk_threshold_spans
+    docs = spark.createDataFrame([("giant-10x", spans)], DOCUMENTS_IN)
+    lex_bc = broadcast_lexicon(spark, base_lexicon)
+
+    corrected = chunked_corrected_spans(spark, docs, lex_bc, cfg)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    t0 = time.monotonic()
+    pids = (corrected.select(F.spark_partition_id().alias("pid"))
+            .distinct().count())
+    t_correct = time.monotonic() - t0
+    # hash of (doc_id, offset) spreads one book over ~all partitions
+    assert pids >= min(8, n_part), f"correction ran in {pids} task(s)"
+
+    t0 = time.monotonic()
+    out = proofread_chunked(spark, docs, lex_bc, cfg).collect()
+    t_e2e = time.monotonic() - t0
+    assert len(out) == 1 and out[0]["span_count"] == len(spans)
+    # segmentation-on-one-task stays acceptable: the full pass (which
+    # REPEATS correction + adds segmentation + reassembly) must not
+    # blow up past a generous multiple of the correction stage alone —
+    # a quadratic or driver-bound segmenter would
+    assert t_e2e < 20 * max(t_correct, 1.0), (t_correct, t_e2e)
