@@ -1090,6 +1090,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NATIVE session_window + watermark sessionizer (late-data-
         # tolerant production form of sessionize_stream_closed)
         "session_window_stream": _session_window_stream,
+        # custom stateful running aggregate — transformWithStateInPandas
+        # where the state-server protocol can start (google.protobuf),
+        # else the protobuf-free applyInPandasWithState twin; the
+        # monotone-counter contract makes both equal the batch groupBy
+        "user_totals_stream": lambda s, d: __import__(
+            "ocr_proofreader_spark.streaming.tws_agg",
+            fromlist=["user_totals_stream_auto"]).user_totals_stream_auto(
+                s, os.path.join(d, "events.parquet"),
+                max_files_per_trigger=1),
         # STREAM-STATIC broadcast dimension enrichment (stateless)
         "stream_static_enrich": lambda s, d: __import__(
             "ocr_proofreader_spark.streaming.windowed",
@@ -1427,6 +1436,15 @@ def _extra_oracles() -> dict[str, str]:
                    CAST(NULL AS BIGINT)
             FROM unmatched u, wm
             WHERE u.t1 + INTERVAL 30 MINUTE < wm.w""",
+        # twin of tws_agg.user_totals_stream(_auto): the monotone-
+        # counter emission rule means the max_by-selected final row per
+        # user equals the plain batch rollup whatever the micro-batch
+        # slicing; total_value rounded after selection on both sides
+        "user_totals_stream": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 3) AS total_value,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) AS max_epoch
+            FROM events GROUP BY user_id""",
         # twin of streaming.windowed.stream_static_enrich: the
         # stateless per-batch dimension join equals the batch join
         "stream_static_enrich": """

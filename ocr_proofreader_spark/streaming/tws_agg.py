@@ -101,6 +101,69 @@ def user_totals_stream(spark: SparkSession, input_path: str,
                .transformWithStateInPandas(
                    _RunningAgg(), RUNNING_OUT, "append", "None"))
     emitted = run_to_scratch_parquet(running, spark, "tws_agg_")
+    return _final_totals(emitted)
+
+
+# ---------------------------------------------------------------------------
+# protobuf-free fallback (VERDICT r04 item 8): the same running-
+# aggregate contract on the OLDER applyInPandasWithState API, whose
+# worker protocol does not need google.protobuf.  Production keeps the
+# typed-state transformWithStateInPandas operator (TTL, timers,
+# RocksDB column families); this twin exists so the operator contract
+# has e2e streaming execution even in containers without protobuf —
+# and so the two APIs can be differentially tested where both run.
+
+_FALLBACK_STATE = T.StructType([
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+    T.StructField("max_epoch", T.LongType()),
+])
+
+
+def _running_fold(key: Tuple, pdfs: Iterator[pd.DataFrame],
+                  state) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n = 0
+    tot = 0.0
+    mx = -(1 << 62)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        tot += float(pdf["value"].sum())
+        mx = max(mx, int((pdf["ts"].astype("int64") // 10**9).max()))
+    if n == 0:
+        return
+    if state.exists:
+        pn, pt, pm = state.get
+        n, tot, mx = n + pn, tot + pt, max(mx, pm)
+    state.update((n, tot, mx))
+    yield pd.DataFrame([(user_id, n, tot, mx)],
+                       columns=[f.name for f in RUNNING_OUT])
+
+
+def user_totals_stream_fallback(spark: SparkSession, input_path: str,
+                                max_files_per_trigger: int | None = None
+                                ) -> DataFrame:
+    """:func:`user_totals_stream` on applyInPandasWithState — same
+    emission rule (updated running aggregate per touched user), same
+    monotone-counter final selection, no protobuf dependency."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.parquet(as_stream_dir(input_path))
+    running = (stream
+               .groupBy("user_id")
+               .applyInPandasWithState(
+                   _running_fold, RUNNING_OUT, _FALLBACK_STATE,
+                   "append", GroupStateTimeout.NoTimeout))
+    emitted = run_to_scratch_parquet(running, spark, "tws_agg_fb_")
+    return _final_totals(emitted)
+
+
+def _final_totals(emitted: DataFrame) -> DataFrame:
     return (emitted
             .groupBy("user_id")
             .agg(F.max("n_events").alias("n_events"),
@@ -108,3 +171,18 @@ def user_totals_stream(spark: SparkSession, input_path: str,
                  F.max("max_epoch").alias("max_epoch"))
             .select("user_id", "n_events",
                     F.round("_tv", 3).alias("total_value"), "max_epoch"))
+
+
+def user_totals_stream_auto(spark: SparkSession, input_path: str,
+                            max_files_per_trigger: int | None = None
+                            ) -> DataFrame:
+    """Route to the modern typed-state operator when its protocol can
+    initialize (google.protobuf importable), else the fallback — the
+    contract is identical either way."""
+    import importlib.util
+    try:
+        has_pb = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_pb = False
+    fn = user_totals_stream if has_pb else user_totals_stream_fallback
+    return fn(spark, input_path, max_files_per_trigger)

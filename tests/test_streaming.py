@@ -500,3 +500,38 @@ def test_stream_stream_join_outer_null_emission(spark, tmp_path):
            for r in stream_stream_join_outer(
                spark, in_dir, max_files_per_trigger=1).collect()}
     assert got == {(1, 600), (4, 60), (5, None)}
+
+
+def test_tws_fallback_stream_end_to_end(spark):
+    """The protobuf-free applyInPandasWithState twin of
+    user_totals_stream runs e2e in THIS container and must equal the
+    plain batch groupBy (the operator's monotone-counter contract),
+    regardless of micro-batch slicing (maxFilesPerTrigger=1)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ocr_proofreader_spark.streaming.tws_agg import (
+        user_totals_stream_auto, user_totals_stream_fallback)
+    src = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(src):
+        pytest.skip("driver testdata missing")
+    out = {r["user_id"]: r for r in user_totals_stream_fallback(
+        spark, src, max_files_per_trigger=1).collect()}
+    batch = {r["user_id"]: r for r in (
+        spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 3).alias("total_value"),
+             F.max(F.unix_timestamp("ts")).alias("max_epoch"))
+        .collect())}
+    assert set(out) == set(batch)
+    for uid, r in out.items():
+        b = batch[uid]
+        assert (r["n_events"], r["max_epoch"]) == \
+            (b["n_events"], b["max_epoch"]), uid
+        assert abs(r["total_value"] - b["total_value"]) < 1e-9, uid
+    # the auto router picks SOME runnable implementation here
+    assert user_totals_stream_auto(
+        spark, src, max_files_per_trigger=4).count() == len(batch)
