@@ -91,17 +91,23 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     half-away-from-zero — while floor absorbs ulp noise everywhere
     except exact 1e-4 multiples, which ln() never lands on), never
     compared — ln() differs by ulps across libms and must not decide
-    order.  Plan: one (doc, word)
-    hash agg; df as a window COUNT over it (an agg+join would cost two
-    extra exchanges); corpus size broadcast-joined; row_number window
-    for the top-k — three shuffles total, pinned in test_plans.py."""
+    order.  Plan: one (doc, word) hash agg; df as a partial+final
+    aggregate JOINED back on word — NOT a Window.partitionBy(word)
+    count, which would drag every (doc, word) row of a stopword into
+    one partition (df('the') = n_docs rows in a single straggler task
+    at corpus scale; the same hot-key-window disease killed in
+    line_dedup r3 and minhash_candidates r5).  The word-keyed join can
+    still skew on stopwords, but joins are AQE-skew-splittable where
+    windows are not, and the df side ships only vocab-sized partials.
+    Corpus size broadcast-joined; row_number window for the top-k (its
+    doc_id partitions are bounded by per-doc vocabulary)."""
     words = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
-    w_df = Window.partitionBy("word")
     w_rk = Window.partitionBy("doc_id").orderBy(F.desc("tf"),
                                                 F.asc("word"))
-    return (tf.withColumn("df", F.count("*").over(w_df))
+    return (tf.join(df, "word")
             .withColumn("rk", F.row_number().over(w_rk))
             .filter(F.col("rk") <= k)
             .crossJoin(F.broadcast(n))
@@ -479,7 +485,13 @@ def minhash_signatures(docs: DataFrame, bands: int = 4) -> DataFrame:
     """md5-based MinHash: one signature per (doc, band).
 
     min(md5(shingle || '|' || band)) is a classic permutation-free MinHash
-    family; md5 keeps it engine-portable."""
+    family; md5 keeps it engine-portable.
+
+    Shape note (measured, r5): a single-pass variant — groupBy(doc_id)
+    with one min-aggregate per band, then posexplode — produces
+    identical values but ran 1.7x SLOWER at sf0.1 (4 wide string agg
+    buffers per group lose to the narrow exploded agg, whose partial
+    agg absorbs the 4x row fanout map-side).  Keep the explode."""
     sh = _shingles(docs)
     return (sh
             .select("doc_id", "shingle",

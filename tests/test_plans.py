@@ -122,9 +122,18 @@ def test_new_ops_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row corpus-size join
     assert P.has_partial_aggregate(tfidf)
-    # tf agg + df window (by word) + top-k window (by doc), plus the
-    # 1-row SinglePartition gather for the corpus count
-    assert P.count_exchanges(tfidf) == 4
+    # df must be a partial+final aggregate joined on word — never a
+    # Window.partitionBy(word) count (stopword partitions = n_docs
+    # rows in one straggler task; r5 fix).  The only window left is
+    # the doc_id-keyed top-k, and WindowGroupLimit pushes its k=3
+    # limit map-side.
+    assert "windowspecdefinition(word" not in plan
+    assert plan.count("windowspecdefinition") == 1
+    assert "windowspecdefinition(doc_id" in plan
+    assert "WindowGroupLimit" in plan
+    # tf agg + tf-by-word + df agg-by-word + top-k by doc + the 1-row
+    # SinglePartition gather for the corpus count
+    assert P.count_exchanges(tfidf) == 5
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
