@@ -414,3 +414,22 @@ def test_n_spans_column_prunes_branch_scans(spark, corpus_small,
     a = sorted(out_plain.collect(), key=lambda r: r["doc_id"])
     b = sorted(out_pruned.collect(), key=lambda r: r["doc_id"])
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_top_words_per_lang_group_limit(spark):
+    """The per-lang top-k window is only scale-safe because
+    WindowGroupLimit bounds it map-side (partial + final): without it,
+    one lang's whole vocabulary sorts in a single task.  Pin both
+    phases so a regression (e.g. an orderBy change that defeats the
+    rank-limit pushdown) fails loudly."""
+    import os
+
+    import pytest
+
+    from ocr_proofreader_spark.operators import relational as rel
+    src = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(src):
+        pytest.skip("driver testdata missing")
+    docs = spark.read.parquet(src)
+    plan = P.physical_plan(rel.top_words_per_lang(docs))
+    assert plan.count("WindowGroupLimit") == 2   # Partial + Final
