@@ -1134,6 +1134,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("event_type")
             .agg(F.sum("kval").alias("sum_kval"),
                  F.max("n_keys").alias("max_keys"))),
+        # Spark-4 semi-structured surfaces (operators/semistructured.py):
+        # native XML functions and the VARIANT type, each twinned from
+        # the RAW columns so a lossy escape/parse fails the hash
+        "docs_xml_roundtrip": lambda s, d: _ss(s).docs_xml_roundtrip(
+            _t(s, d, "documents")),
+        "events_xml_agg": lambda s, d: _ss(s).events_xml_agg(
+            _t(s, d, "events")),
+        "events_variant_agg": lambda s, d: _ss(s).events_variant_agg(
+            _t(s, d, "events")),
         # JSON column surface (events.props is a JSON string): JVM-side
         # path extraction + agg, no UDF
         "events_json_agg": lambda s, d: (
@@ -1191,6 +1200,11 @@ def _rel(spark):
 def _mm(spark):
     from ocr_proofreader_spark.operators import multimodal as mm
     return mm
+
+
+def _ss(spark):
+    from ocr_proofreader_spark.operators import semistructured as ss
+    return ss
 
 
 def _ifl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1687,6 +1701,25 @@ def _extra_oracles() -> dict[str, str]:
             FROM events
             WHERE json_valid(props) AND json_type(props) = 'OBJECT'
             GROUP BY event_type""",
+        # twins of the Spark-4 semi-structured surfaces: recomputed
+        # from the RAW columns (the oracle never sees XML or VARIANT)
+        "docs_xml_roundtrip": """
+            SELECT doc_id, md5(text) AS xml_text_digest
+            FROM documents""",
+        "events_xml_agg": """
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_value_cents,
+                   CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                       AS sum_k
+            FROM events GROUP BY event_type""",
+        "events_variant_agg": """
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                       AS sum_k,
+                   CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                       AS max_k
+            FROM events GROUP BY event_type""",
         "events_json_agg": """
             SELECT event_type, count(*) AS n_events,
                    CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)

@@ -136,12 +136,18 @@ def main() -> None:
     ap.add_argument("--report-only", action="store_true",
                     help="recompute ceilings + rewrite BASELINE.md from "
                          "the existing BENCH/scaling.json (no Spark runs)")
+    ap.add_argument("--pair", type=int, default=None,
+                    help="re-run only PAIRS[i] (0-based), merging into "
+                         "the existing scaling.json — for retrying the "
+                         "headline pair in a quieter host window")
     args = ap.parse_args()
     runs = 1 if args.quick else args.runs
 
     bench_dir = os.path.join(ROOT, "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
     pairs = [(n, n4, d // (4 if args.quick else 1)) for n, n4, d in PAIRS]
+    if args.pair is not None:
+        pairs = [pairs[args.pair]]
     levels = sorted({c for n, n4, _ in pairs for c in (n, n4)})
 
     if args.report_only:
@@ -149,6 +155,45 @@ def main() -> None:
             results = json.load(fh)
         calib = {int(k): v for k, v
                  in results["host_calibration_mops"].items()}
+    elif args.pair is not None:
+        # merge-mode: keep the other pairs' results + calibrations,
+        # refresh this pair and the SAME-WINDOW spin ceiling for its
+        # two levels (ceilings from another window would mis-normalize)
+        with open(os.path.join(bench_dir, "scaling.json")) as fh:
+            results = json.load(fh)
+        calib = {int(k): v for k, v
+                 in results["host_calibration_mops"].items()}
+        from ocr_proofreader_spark.jobs.proofread_job import build_session
+        from ocr_proofreader_spark.sources.synthetic import \
+            ensure_corpus_parquet
+        from scripts.make_dist import main as make_zip
+        zip_path = make_zip()
+        spark = build_session("corpus-gen", master="local[32]",
+                              shuffle_partitions=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        corpora = {d: ensure_corpus_parquet(
+            spark, os.path.join(bench_dir, "corpus_cache"), d)
+            for _, _, d in pairs}
+        spark.stop()
+        time.sleep(5)
+        for procs in levels:
+            calib[procs] = round(host_capacity(procs), 1)
+        print(f"host spin calibration (Mops/s): {calib}", flush=True)
+        results["host_calibration_mops"] = calib
+        bw = {int(k): v for k, v
+              in results.get("host_bandwidth_gbps", {}).items()}
+        for procs in levels:
+            bw[procs] = round(host_bandwidth(procs), 2)
+        results["host_bandwidth_gbps"] = bw
+        for n, n4, docs in pairs:
+            print(f"pair local[{n}] vs local[{n4}] on {docs} docs:",
+                  flush=True)
+            r = bench_pair(n, n4, corpora[docs], zip_path, runs, bench_dir)
+            r["docs"] = docs
+            results[f"local{n}_vs_local{n4}"] = r
+        # downstream report covers ALL pairs, not just the re-run one
+        pairs = [(n, n4, d // (4 if args.quick else 1))
+                 for n, n4, d in PAIRS]
     else:
         from ocr_proofreader_spark.jobs.proofread_job import build_session
         from ocr_proofreader_spark.sources.synthetic import \
@@ -183,12 +228,26 @@ def main() -> None:
         print(f"host bandwidth calibration (GB/s): {bwc}", flush=True)
     bwc = {int(k): v for k, v in results["host_bandwidth_gbps"].items()}
 
+    rerun_keys = ({f"local{p[0]}_vs_local{p[1]}"
+                   for p in ([PAIRS[args.pair]] if args.pair is not None
+                             else [])})
     for n, n4, docs in pairs:
-        r = results[f"local{n}_vs_local{n4}"]
+        key = f"local{n}_vs_local{n4}"
+        r = results[key]
         # numeric keys become strings after a json round-trip
         for c in (n, n4):
             if c not in r and str(c) in r:
                 r[c] = r.pop(str(c))
+        if ("host_spin_efficiency" in r
+                and (args.report_only
+                     or (args.pair is not None
+                         and key not in rerun_keys))):
+            # pair not re-run this session: KEEP its stored ceilings —
+            # they were measured in ITS window; mixing this window's
+            # calibration for one level with a stale value for the
+            # other (or recomputing old pairs from a fresh window in
+            # report-only mode) produces meaningless ratios
+            continue
         host_eff = round((calib[n4] / calib[n]) / (n4 / n), 3)
         r["host_spin_efficiency"] = host_eff
         r["host_bandwidth_efficiency"] = round(
