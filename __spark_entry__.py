@@ -1037,6 +1037,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "customer")),
         "minhash_jaccard_estimate": lambda s, d:
             ops.minhash_jaccard_estimate(_t(s, d, "documents")),
+        # exact distributed quantiles: histogram + running sum over the
+        # distinct-value axis — no global sort, no approx sketch
+        "group_quantiles": lambda s, d: _rel(s).group_quantiles_disc(
+            _t(s, d, "lineitem")),
         # rotated OUT of the driver 50 in round 4 (displaced by
         # line_dedup_corpus / lang_id_ngram / unigram_logprob); their
         # bit-exact verification continues here
@@ -1378,6 +1382,31 @@ def _extra_oracles() -> dict[str, str]:
              AND e2.event_type = 'purchase'
              AND e2.ts >= e1.ts
              AND e2.ts <= e1.ts + INTERVAL 30 MINUTE""",
+        # twin of relational.group_quantiles_disc: the SAME explicit
+        # quantile definition (smallest value whose cumulative count
+        # reaches ceil(p*n/100), integer thresholds) over DuckDB's own
+        # window/agg machinery — native quantile_disc uses a different
+        # rank rule (floor((n-1)p)) and is deliberately not used
+        "group_quantiles": """
+            WITH hist AS (
+              SELECT l_returnflag AS flag,
+                     CAST(floor(l_extendedprice * 100) AS BIGINT)
+                         AS cents,
+                     count(*) AS c
+              FROM lineitem GROUP BY 1, 2),
+            cum AS (
+              SELECT flag, cents, c,
+                     sum(c) OVER (PARTITION BY flag ORDER BY cents
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM hist),
+            n AS (SELECT flag, CAST(sum(c) AS BIGINT) AS n FROM hist
+                  GROUP BY flag)
+            SELECT flag, CAST(p AS BIGINT) AS p,
+                   CAST(min(cents) AS BIGINT) AS q_cents
+            FROM cum JOIN n USING (flag)
+            CROSS JOIN (SELECT unnest([25, 50, 75, 95]) AS p) ps
+            WHERE cum >= (n * p + 99) // 100
+            GROUP BY flag, p""",
         # twins of the round-4 relational patterns
         "late_shipment_orders": """
             SELECT o_orderpriority, count(*) AS n_orders

@@ -274,3 +274,46 @@ def above_avg_balance(customer: DataFrame) -> DataFrame:
             .groupBy("c_nationkey")
             .agg(F.count("*").alias("n_above"),
                  F.max("cents").alias("max_cents")))
+
+
+def group_quantiles_disc(lineitem: DataFrame,
+                         ps: tuple = (25, 50, 75, 95)) -> DataFrame:
+    """EXACT discrete quantiles per group, at scale: the p-th
+    percentile of l_extendedprice (integer cents) per l_returnflag,
+    defined as the smallest value whose cumulative count reaches
+    ceil(p * n / 100).
+
+    Scale shape — exact distributed quantiles without a global sort:
+    (1) collapse rows to a VALUE HISTOGRAM with a partial+final hash
+    aggregate on (group, value) — 10^12 rows reduce to the distinct-
+    value count per group, bounded by the value domain (price cents),
+    not the row count; (2) a running sum over the histogram's ordered
+    distinct-value axis (the window partition holds distinct values
+    only — the one place a window is safe by construction); (3) each
+    requested p picks min(value | cum >= threshold) via explode +
+    min-aggregate, one pass for all percentiles.  Thresholds use pure
+    integer arithmetic (div(n*p + 99, 100) == ceil without doubles) so
+    the boundary row cannot flip on engine ulps.  The DuckDB twin
+    executes the same explicitly-specified definition over its own
+    window/agg machinery — the definition, not the plan, is the
+    contract (quantile_disc's native rank rule floor((n-1)*p) differs
+    from this ceil rule on small fractional boundaries, so the spec is
+    spelled out rather than borrowed)."""
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    hist = (lineitem
+            .select(F.col("l_returnflag").alias("flag"),
+                    cents.alias("cents"))
+            .groupBy("flag", "cents").agg(F.count("*").alias("c")))
+    w = (Window.partitionBy("flag").orderBy("cents")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    n = hist.groupBy("flag").agg(F.sum("c").alias("n"))
+    return (cum.join(n, "flag")
+            .select("flag", "cents", "cum", "n",
+                    F.explode(F.array(*[F.lit(p) for p in ps]))
+                    .alias("p"))
+            .filter(F.col("cum") >= F.expr("div(n * p + 99, 100)"))
+            .groupBy("flag", "p")
+            .agg(F.min("cents").alias("q_cents"))
+            .select("flag", F.col("p").cast("long").alias("p"),
+                    "q_cents"))

@@ -353,3 +353,40 @@ def test_stratified_sample_deterministic_rates(spark):
     none_fr = stratified_sample(docs, rates={"en": 8000, "fr": 0}).collect()
     assert not any(r["kept"] for r in none_fr if r["lang"] == "fr")
     assert any(r["kept"] for r in none_fr if r["lang"] == "en")
+
+
+def test_group_quantiles_disc_vs_bruteforce(spark):
+    """The histogram+running-sum quantile equals the brute-force
+    sorted-list pick (smallest value at cumulative rank ceil(p*n/100))
+    on a crafted distribution with duplicates and singleton groups;
+    plan keeps partial aggregates and the window sits on the
+    distinct-value axis."""
+    import math
+
+    from ocr_proofreader_spark.operators.relational import \
+        group_quantiles_disc
+    from ocr_proofreader_spark.plans import physical as P
+
+    rows = []
+    vals_a = [1.00] * 10 + [2.00] * 5 + [3.50] * 3 + [9.99]
+    vals_b = [5.00]
+    vals_c = [0.01 * i for i in range(1, 101)]
+    for flag, vals in (("A", vals_a), ("B", vals_b), ("C", vals_c)):
+        rows += [(flag, v) for v in vals]
+    li = spark.createDataFrame(rows,
+                               "l_returnflag string, "
+                               "l_extendedprice double")
+    got = {(r["flag"], r["p"]): r["q_cents"]
+           for r in group_quantiles_disc(li).collect()}
+
+    for flag, vals in (("A", vals_a), ("B", vals_b), ("C", vals_c)):
+        cents = sorted(math.floor(v * 100) for v in vals)
+        for p in (25, 50, 75, 95):
+            idx = -(-len(cents) * p // 100)          # ceil, 1-based
+            assert got[(flag, p)] == cents[idx - 1], (flag, p)
+
+    out = group_quantiles_disc(li)
+    plan = P.physical_plan(out)
+    assert P.has_partial_aggregate(out)
+    # the only window runs over the distinct-value histogram
+    assert plan.count("windowspecdefinition") == 1
