@@ -29,6 +29,7 @@ build swaps in a full parser behind the same function signature.
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 
 import numpy as np
@@ -392,7 +393,13 @@ def extract_pdf_images(data: bytes) -> list[np.ndarray]:
                     raise PdfError("/DCTDecode must be the final filter")
                 try:
                     px = decode_jpeg(body)
-                except CodecError as e:
+                # struct/Index/ZeroDivision too: malformed segments can
+                # slip past the codec's length guards (a SOF0 declaring
+                # ln=5 underfeeds struct.unpack) — every corrupt-stream
+                # failure must classify as PdfError so row-isolation
+                # wrappers upstream see one exception family
+                except (CodecError, ValueError, struct.error,
+                        IndexError, ZeroDivisionError) as e:
                     raise PdfError(f"bad DCTDecode stream: {e}")
             elif name == b"FlateDecode":
                 try:

@@ -252,3 +252,59 @@ def test_pdf_image_roundtrip_stage(spark):
         assert 8 <= rows[d]["img_w"] <= 16 and 8 <= rows[d]["img_h"] <= 16
     assert rows[3]["img_filter"] is None
     assert rows[3]["pix_digest"] is None
+
+
+def test_pdf_lzw_and_images_fuzz():
+    """Garbage never escapes classification: random bytes through the
+    LZW decoder and mutated image PDFs through extract_pdf_images must
+    either succeed or raise PdfError — any other exception would break
+    the per-row poison-isolation contract of stages built on them."""
+    import random
+
+    import numpy as np
+
+    from ocr_proofreader_spark.functions.pdf import (PdfError,
+                                                     extract_pdf_images,
+                                                     lzw_decode_pdf,
+                                                     synth_pdf_with_image)
+    rng = random.Random(99)
+    for _ in range(300):
+        blob = bytes(rng.randrange(256)
+                     for _ in range(rng.randrange(0, 60)))
+        for ec in (0, 1):
+            try:
+                lzw_decode_pdf(blob, ec)
+            except PdfError:
+                pass
+    px = np.full((9, 9, 1), 77, np.uint8)
+    for filt in ("DCTDecode", "FlateDecode", "LZWDecode"):
+        base = bytearray(synth_pdf_with_image("t", px, filt))
+        for _ in range(120):
+            mut = bytearray(base)
+            for _ in range(rng.randrange(1, 6)):
+                mut[rng.randrange(len(mut))] = rng.randrange(256)
+            try:
+                extract_pdf_images(bytes(mut))
+            except PdfError:
+                pass
+
+
+def test_pdf_image_dct_struct_escape_classified():
+    """A truncated SOF0 (declared ln=5) inside a /DCTDecode image
+    stream must classify as PdfError — struct.error escaping
+    extract_pdf_images would bypass the one-exception-family contract
+    row-isolation wrappers rely on."""
+    import struct
+
+    import pytest
+
+    from ocr_proofreader_spark.functions.pdf import (PdfError,
+                                                     extract_pdf_images)
+    evil = b"\xff\xd8\xff\xc0" + struct.pack(">H", 5) + b"\x08\x00"
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Type /XObject /Subtype /Image "
+           b"/Width 1 /Height 1 /ColorSpace /DeviceGray "
+           b"/BitsPerComponent 8 /Filter /DCTDecode /Length "
+           + str(len(evil)).encode() + b" >>\nstream\n" + evil
+           + b"\nendstream\nendobj\n")
+    with pytest.raises(PdfError):
+        extract_pdf_images(pdf)
