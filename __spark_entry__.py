@@ -1023,6 +1023,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")),
         "token_count_bpe": lambda s, d: ops.token_count_bpe(
             _t(s, d, "documents")),
+        # MERGEABLE DataSketches HLL: per-lang sketches + corpus total
+        # via sketch UNION (no token rescan); tolerance-gated vs exact
+        "vocab_sketch_rollup": lambda s, d: ops.vocab_sketch_rollup(
+            _t(s, d, "documents")),
         "distinct_token_sketch": lambda s, d: ops.distinct_token_sketch(
             _t(s, d, "documents")),
         "range_join": lambda s, d: _range_join(s, d),
@@ -1338,6 +1342,19 @@ def _extra_oracles() -> dict[str, str]:
             SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_exact,
                    true AS within_tol
             FROM (SELECT unnest({_TOKS}) AS word FROM documents)""",
+        # gate twin of training_ops.vocab_sketch_rollup: exact distinct
+        # per lang + corpus; the pinned booleans fail the hash if any
+        # HLL estimate (incl. the UNIONED corpus sketch) drifts
+        "vocab_sketch_rollup": f"""
+            WITH w AS (SELECT lang, unnest({_TOKS}) AS word
+                       FROM documents)
+            SELECT lang, CAST(count(DISTINCT word) AS BIGINT) AS n_exact,
+                   true AS within_tol
+            FROM w GROUP BY lang
+            UNION ALL
+            SELECT '__all__', CAST(count(DISTINCT word) AS BIGINT),
+                   true
+            FROM w""",
         # twins of the three queries rotated out of the driver 50 in
         # round 4 — verification continues here unchanged
         "token_count": f"""

@@ -1300,3 +1300,39 @@ def label_centroid_sim(emb: DataFrame) -> DataFrame:
             .groupBy("label")
             .agg(F.round(F.avg("cos"), 3).alias("avg_cohesion"),
                  F.count("*").alias("n_members")))
+
+
+def vocab_sketch_rollup(docs: DataFrame, tol: float = 0.05) -> DataFrame:
+    """MERGEABLE vocabulary sketches: one Apache DataSketches HLL per
+    language (``hll_sketch_agg``) plus the corpus total obtained by
+    UNIONING the stored per-language sketches (``hll_union_agg``) —
+    never rescanning the tokens.  That mergeability is the property
+    that matters at 100 TB: per-partition/per-day sketches persist as
+    binary columns and roll up to any coarser grain with constant
+    memory, where ``approx_count_distinct`` gives one opaque number.
+
+    Gate pattern (like distinct_token_sketch / ANN recall): each row
+    pins |approx - exact| <= tol * exact as a boolean the DuckDB twin
+    recomputes from the exact side only — sketch drift fails the
+    hash.  Output: one row per lang plus an ``__all__`` row from the
+    sketch UNION."""
+    words = docs.select("lang", F.explode(F.expr(TOKENS)).alias("word"))
+    per_lang = words.groupBy("lang").agg(
+        F.hll_sketch_agg("word").alias("sk"),
+        F.countDistinct("word").alias("n_exact"))
+    # corpus exact distinct (a word in two langs counts once)
+    total_exact = words.agg(
+        F.countDistinct("word").alias("n_exact"))
+    union = (per_lang
+             .agg(F.hll_union_agg("sk").alias("sk"))
+             .crossJoin(F.broadcast(total_exact))
+             .select(F.lit("__all__").alias("lang"),
+                     F.hll_sketch_estimate("sk").alias("n_approx"),
+                     "n_exact"))
+    per = per_lang.select(
+        "lang", F.hll_sketch_estimate("sk").alias("n_approx"),
+        "n_exact")
+    return (per.unionByName(union)
+            .select("lang", F.col("n_exact").cast("long").alias("n_exact"),
+                    (F.abs(F.col("n_approx") - F.col("n_exact"))
+                     <= tol * F.col("n_exact")).alias("within_tol")))

@@ -390,3 +390,24 @@ def test_group_quantiles_disc_vs_bruteforce(spark):
     assert P.has_partial_aggregate(out)
     # the only window runs over the distinct-value histogram
     assert plan.count("windowspecdefinition") == 1
+
+
+def test_vocab_sketch_rollup_mergeability(spark):
+    """The unioned corpus sketch must estimate the TRUE corpus distinct
+    (words shared across langs count once), not the sum of per-lang
+    counts — that is the mergeability property the operator exists to
+    demonstrate."""
+    from ocr_proofreader_spark.operators.relational import \
+        group_quantiles_disc  # noqa: F401 (module import sanity)
+    from ocr_proofreader_spark.operators import training_ops as ops
+    docs = spark.createDataFrame(
+        [(1, "en", "shared alpha beta"),
+         (2, "en", "shared gamma"),
+         (3, "fr", "shared delta epsilon zeta")],
+        "doc_id long, lang string, text string")
+    rows = {r["lang"]: r for r in ops.vocab_sketch_rollup(docs).collect()}
+    assert rows["en"]["n_exact"] == 4      # shared alpha beta gamma
+    assert rows["fr"]["n_exact"] == 4      # shared delta epsilon zeta
+    # corpus: 'shared' counted once -> 7, NOT 8
+    assert rows["__all__"]["n_exact"] == 7
+    assert all(r["within_tol"] for r in rows.values())
