@@ -1095,6 +1095,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ops.synth_pii(_t(s, d, "documents"))),
         "benchmark_contamination": lambda s, d: ops.benchmark_contamination(
             _t(s, d, "documents")),
+        # Bloom-filter decontamination pre-screen in relational normal
+        # form (md5 bit positions): bit-exact twin incl. false positives
+        "contamination_bloom": lambda s, d: ops.contamination_bloom(
+            _t(s, d, "documents")),
         # NATIVE session_window + watermark sessionizer (late-data-
         # tolerant production form of sessionize_stream_closed)
         "session_window_stream": _session_window_stream,
@@ -1694,6 +1698,52 @@ def _extra_oracles() -> dict[str, str]:
                    coalesce(n_hits, 0) > 0 AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id >= 5) d
             LEFT JOIN hits USING (doc_id)""",
+        # twin of training_ops.contamination_bloom: the same md5-derived
+        # bit positions, set-bit table and all-k-hashes-set probe — the
+        # bloom math itself is engine-portable, so even the FALSE
+        # POSITIVES must agree bit-for-bit
+        "contamination_bloom": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                         [array_to_string(t[i:i+7], ' ')
+                          for i in range(1, len(t) - 6)])) AS gram
+              FROM toks WHERE len(t) >= 8),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 5),
+            bits AS (
+              SELECT DISTINCT unnest([
+                  CAST(('0x' || substr(md5(gram || '|' ||
+                        CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)
+                      % 1048576
+                  for j in range(0, 7)]) AS pos
+              FROM bench),
+            corpus AS (SELECT * FROM grams WHERE doc_id >= 5),
+            probe AS (
+              SELECT doc_id, gram,
+                     unnest([
+                         CAST(('0x' || substr(md5(gram || '|' ||
+                               CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)
+                             % 1048576
+                         for j in range(0, 7)]) AS pos
+              FROM corpus),
+            bp AS (
+              SELECT doc_id, gram
+              FROM probe
+              WHERE pos IN (SELECT pos FROM bits)
+              GROUP BY doc_id, gram HAVING count(*) = 7),
+            nb AS (SELECT doc_id, count(*) AS n_bloom FROM bp
+                   GROUP BY doc_id),
+            ne AS (SELECT doc_id, count(*) AS n_exact FROM corpus
+                   WHERE gram IN (SELECT gram FROM bench)
+                   GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact_hits,
+                   coalesce(n_exact, 0) > 0 AS contaminated,
+                   CAST(coalesce(n_bloom, 0) AS BIGINT) AS n_bloom_hits
+            FROM (SELECT doc_id FROM documents WHERE doc_id >= 5) d
+            LEFT JOIN nb USING (doc_id)
+            LEFT JOIN ne USING (doc_id)""",
         # twin of streaming.windowed.session_window_stream: append-mode
         # session_window emits a session once the watermark (max ts -
         # delay) REACHES its end (last event + gap; boundary INCLUSIVE —

@@ -1336,3 +1336,76 @@ def vocab_sketch_rollup(docs: DataFrame, tol: float = 0.05) -> DataFrame:
             .select("lang", F.col("n_exact").cast("long").alias("n_exact"),
                     (F.abs(F.col("n_approx") - F.col("n_exact"))
                      <= tol * F.col("n_exact")).alias("within_tol")))
+
+
+BLOOM_M = 1 << 20          # bits in the filter
+BLOOM_K = 7                # hash functions
+
+
+def _bloom_pos(gram, j):
+    """Hash position j of a gram: md5-derived, engine-portable."""
+    return (F.conv(F.substring(F.md5(F.concat_ws(
+        "|", gram, F.lit(str(j)))), 1, 15), 16, 10)
+        .cast("long") % BLOOM_M)
+
+
+def contamination_bloom(docs: DataFrame, n: int = 8,
+                        bench_max_doc: int = 5) -> DataFrame:
+    """Bloom-filter decontamination pre-screen, expressed RELATIONALLY
+    so it is bit-exactly reproducible by the DuckDB twin (false
+    positives included — the twin recomputes the same md5 bit math,
+    so this is a full-strength hash gate, not a tolerance gate).
+
+    Scale story: at 100 TB the cheap first pass over the corpus is a
+    Bloom filter of the eval-suite grams — a few MB regardless of
+    corpus size — and only bloom-positive rows pay the exact
+    verification join.  Here the filter is its relational normal
+    form: the benchmark's set bit POSITIONS (<= |bench| * k distinct
+    ints, broadcastable) and a probe that marks a gram positive iff
+    ALL k of its positions are set (count == k over a broadcast
+    semi-join).  A production build swaps the inner representation
+    for Spark's binary bloom + `might_contain` scan pushdown behind
+    the same output schema; the gram-side explode-by-k is the
+    documented cost of keeping the math engine-portable.
+
+    Output per corpus doc: exact hit count, contaminated flag, bloom-
+    positive count (>= exact by construction — no false negatives —
+    which the twin verifies by recomputing both sides)."""
+    grams = (docs
+             .withColumn("toks", F.expr(TOKENS))
+             .filter(F.expr(f"size(toks) >= {n}"))
+             .select("doc_id", F.explode(F.expr(
+                 f"array_distinct(transform(sequence(0, size(toks)-{n}),"
+                 f" i -> concat_ws(' ', slice(toks, i+1, {n}))))"))
+                 .alias("gram")))
+    bench = (grams.filter(F.col("doc_id") < bench_max_doc)
+             .select("gram").distinct())
+    bits = (bench.select(F.explode(F.array(
+        *[_bloom_pos(F.col("gram"), j) for j in range(BLOOM_K)]))
+        .alias("pos")).distinct())
+    corpus = grams.filter(F.col("doc_id") >= bench_max_doc)
+    probe = (corpus.select(
+        "doc_id", "gram",
+        F.explode(F.array(*[_bloom_pos(F.col("gram"), j)
+                            for j in range(BLOOM_K)])).alias("pos")))
+    bloom_pos = (probe
+                 .join(F.broadcast(bits), "pos", "left_semi")
+                 .groupBy("doc_id", "gram")
+                 .agg(F.count("*").alias("k_hits"))
+                 .filter(F.col("k_hits") == BLOOM_K)
+                 .groupBy("doc_id")
+                 .agg(F.count("*").alias("n_bloom")))
+    exact = (corpus.join(F.broadcast(bench), "gram", "left_semi")
+             .groupBy("doc_id").agg(F.count("*").alias("n_exact")))
+    return (docs.filter(F.col("doc_id") >= bench_max_doc)
+            .select("doc_id")
+            .join(bloom_pos, "doc_id", "left")
+            .join(exact, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_exact", F.lit(0)).cast("long")
+                .alias("n_exact_hits"),
+                (F.coalesce("n_exact", F.lit(0)) > 0)
+                .alias("contaminated"),
+                F.coalesce("n_bloom", F.lit(0)).cast("long")
+                .alias("n_bloom_hits")))

@@ -411,3 +411,25 @@ def test_vocab_sketch_rollup_mergeability(spark):
     # corpus: 'shared' counted once -> 7, NOT 8
     assert rows["__all__"]["n_exact"] == 7
     assert all(r["within_tol"] for r in rows.values())
+
+
+def test_contamination_bloom_superset_of_exact(spark):
+    """Bloom pre-screen safety: every exactly-contaminated gram is
+    bloom-positive (no false negatives, by construction of the all-k-
+    positions-set rule), and a crafted contaminated doc is flagged."""
+    from ocr_proofreader_spark.operators import training_ops as ops
+    bench_text = " ".join(f"b{i}" for i in range(12))
+    clean_text = " ".join(f"c{i}" for i in range(12))
+    dirty_text = clean_text + " " + bench_text     # contains bench grams
+    docs = spark.createDataFrame(
+        [(0, bench_text), (1, bench_text),
+         (2, bench_text), (3, bench_text), (4, bench_text),
+         (10, clean_text), (11, dirty_text)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r
+            for r in ops.contamination_bloom(docs).collect()}
+    assert set(rows) == {10, 11}
+    assert rows[11]["contaminated"] and rows[11]["n_exact_hits"] >= 5
+    assert not rows[10]["contaminated"]
+    for r in rows.values():
+        assert r["n_bloom_hits"] >= r["n_exact_hits"]   # no false negs
