@@ -1045,6 +1045,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distinct-value axis — no global sort, no approx sketch
         "group_quantiles": lambda s, d: _rel(s).group_quantiles_disc(
             _t(s, d, "lineitem")),
+        # GK-sketch quantiles gated on the sketch's own rank guarantee
+        "group_quantiles_approx": lambda s, d:
+            _rel(s).group_quantiles_approx_gate(_t(s, d, "lineitem")),
         # rotated OUT of the driver 50 in round 4 (displaced by
         # line_dedup_corpus / lang_id_ngram / unigram_logprob); their
         # bit-exact verification continues here
@@ -1424,6 +1427,30 @@ def _extra_oracles() -> dict[str, str]:
                   GROUP BY flag)
             SELECT flag, CAST(p AS BIGINT) AS p,
                    CAST(min(cents) AS BIGINT) AS q_cents
+            FROM cum JOIN n USING (flag)
+            CROSS JOIN (SELECT unnest([25, 50, 75, 95]) AS p) ps
+            WHERE cum >= (n * p + 99) // 100
+            GROUP BY flag, p""",
+        # gate twin of relational.group_quantiles_approx_gate: exact
+        # quantiles recomputed, rank-guarantee booleans pinned — a GK
+        # sketch drifting past n/accuracy fails the hash
+        "group_quantiles_approx": """
+            WITH hist AS (
+              SELECT l_returnflag AS flag,
+                     CAST(floor(l_extendedprice * 100) AS BIGINT)
+                         AS cents,
+                     count(*) AS c
+              FROM lineitem GROUP BY 1, 2),
+            cum AS (
+              SELECT flag, cents, c,
+                     sum(c) OVER (PARTITION BY flag ORDER BY cents
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM hist),
+            n AS (SELECT flag, CAST(sum(c) AS BIGINT) AS n FROM hist
+                  GROUP BY flag)
+            SELECT flag, CAST(p AS BIGINT) AS p,
+                   CAST(min(cents) AS BIGINT) AS q_cents,
+                   true AS rank_within_guarantee
             FROM cum JOIN n USING (flag)
             CROSS JOIN (SELECT unnest([25, 50, 75, 95]) AS p) ps
             WHERE cum >= (n * p + 99) // 100

@@ -317,3 +317,54 @@ def group_quantiles_disc(lineitem: DataFrame,
             .agg(F.min("cents").alias("q_cents"))
             .select("flag", F.col("p").cast("long").alias("p"),
                     "q_cents"))
+
+
+def group_quantiles_approx_gate(lineitem: DataFrame,
+                                ps: tuple = (25, 50, 75, 95),
+                                accuracy: int = 1000) -> DataFrame:
+    """``percentile_approx`` (Spark's Greenwald-Khanna sketch — the
+    constant-memory, map-side-mergeable way to take quantiles of
+    10^12 rows) gated against the exact histogram quantiles of
+    :func:`group_quantiles_disc`, on the sketch's OWN guarantee: the
+    returned value's RANK is within n/accuracy of the target rank.  A
+    value-space tolerance would be data-dependent and meaningless on
+    skewed distributions; the rank bound is what GK actually promises.
+
+    Output per (group, percentile): the exact quantile, the sketch's
+    rank error, and the pinned bound boolean.  The DuckDB twin
+    recomputes the exact side + booleans only — sketch drift past the
+    guarantee fails the hash."""
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    vals = lineitem.select(F.col("l_returnflag").alias("flag"),
+                           cents.alias("cents"))
+    hist = vals.groupBy("flag", "cents").agg(F.count("*").alias("c"))
+    w = (Window.partitionBy("flag").orderBy("cents")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    n = hist.groupBy("flag").agg(F.sum("c").alias("n"))
+
+    fracs = F.array(*[F.lit(p / 100) for p in ps])
+    pcols = F.array(*[F.lit(p) for p in ps])
+    ap = (vals.groupBy("flag")
+          .agg(F.percentile_approx("cents", fracs, F.lit(accuracy))
+               .alias("qs"))
+          .select("flag", F.posexplode(
+              F.arrays_zip(pcols.alias("p"), F.col("qs").alias("v")))
+              .alias("_i", "pv"))
+          .select("flag", F.col("pv.p").alias("p"),
+                  F.col("pv.v").alias("v")))
+    # rank of the sketch's value = cumulative count at that value
+    rank = (ap.join(cum, ["flag"])
+            .filter(F.col("cents") <= F.col("v"))
+            .groupBy("flag", "p", "v")
+            .agg(F.max("cum").alias("rank_v")))
+    exact = group_quantiles_disc(lineitem, ps)
+    return (rank.join(n, "flag")
+            .join(exact, ["flag", "p"])
+            .select("flag", F.col("p").cast("long").alias("p"),
+                    "q_cents",
+                    (F.abs(F.col("rank_v")
+                           - F.expr("div(n * p + 99, 100)"))
+                     <= F.greatest(F.lit(2),
+                                   2 * F.col("n") / accuracy))
+                    .alias("rank_within_guarantee")))
