@@ -62,7 +62,7 @@ class Catalog:
 # formats the generic path reader/writer supports: the two columnar
 # formats Spark bundles (full predicate-pushdown scans) plus the two
 # text interchange formats every ingest pipeline meets
-SOURCE_FORMATS = ("parquet", "orc", "json", "csv")
+SOURCE_FORMATS = ("parquet", "orc", "json", "csv", "xml")
 
 
 def write_format(df: DataFrame, path: str, fmt: str,
@@ -78,6 +78,10 @@ def write_format(df: DataFrame, path: str, fmt: str,
     w = df.write.mode(mode)
     if fmt == "csv":
         w = w.option("header", True).option("escape", '"')
+    elif fmt == "xml":
+        # native XML source (built-in since Spark 4); entity escaping
+        # makes free text incl. newlines/quotes lossless by default
+        w = w.option("rowTag", "row")
     w.format(fmt).save(path)
 
 
@@ -97,6 +101,8 @@ def read_format(spark: SparkSession, path: str, fmt: str,
     if fmt == "csv":
         r = (r.option("header", True).option("escape", '"')
              .option("multiLine", True))
+    elif fmt == "xml":
+        r = r.option("rowTag", "row")
     return r.format(fmt).load(path)
 
 
