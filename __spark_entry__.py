@@ -1027,6 +1027,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via sketch UNION (no token rescan); tolerance-gated vs exact
         "vocab_sketch_rollup": lambda s, d: ops.vocab_sketch_rollup(
             _t(s, d, "documents")),
+        # tokenizer TRAINING: learn the BPE merge table from the corpus
+        # (Sennrich loop); twin replays the whole loop in chained CTEs
+        "bpe_learn_merges": lambda s, d: ops.bpe_learn_merges(
+            _t(s, d, "documents")),
         "distinct_token_sketch": lambda s, d: ops.distinct_token_sketch(
             _t(s, d, "documents")),
         "range_join": lambda s, d: _range_join(s, d),
@@ -1349,6 +1353,11 @@ def _extra_oracles() -> dict[str, str]:
             SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_exact,
                    true AS within_tol
             FROM (SELECT unnest({_TOKS}) AS word FROM documents)""",
+        # twin of training_ops.bpe_learn_merges: the full learning loop
+        # in SQL — each round's argmax feeds the next round's replace
+        "bpe_learn_merges": __import__(
+            "ocr_proofreader_spark.operators.training_ops",
+            fromlist=["bpe_learn_merges_sql"]).bpe_learn_merges_sql(),
         # gate twin of training_ops.vocab_sketch_rollup: exact distinct
         # per lang + corpus; the pinned booleans fail the hash if any
         # HLL estimate (incl. the UNIONED corpus sketch) drifts

@@ -1409,3 +1409,95 @@ def contamination_bloom(docs: DataFrame, n: int = 8,
                 .alias("contaminated"),
                 F.coalesce("n_bloom", F.lit(0)).cast("long")
                 .alias("n_bloom_hits")))
+
+
+def bpe_learn_merges(docs: DataFrame, n_merges: int = 6) -> DataFrame:
+    """LEARN a BPE merge table from the corpus — tokenizer TRAINING,
+    the counterpart of :func:`token_count_bpe_merged` (which applies a
+    fixed table).  Standard Sennrich loop: count adjacent symbol pairs
+    over the current segmentation, merge the most frequent pair
+    (ties: lexicographically smallest — a total order, so the learned
+    table is deterministic), repeat.
+
+    Scale shape: each round is one partial+final pair-count aggregate
+    over the corpus plus a 1-row argmax collect — rounds are O(vocab)
+    driver traffic, like IVF's centroid sweeps; the segmentation state
+    is re-derived per round by chaining ``replace`` projections (the
+    separator-wrapped encoding of ``bpe_seg_count_expr``, where one
+    replace is exactly one exhaustive leftmost merge).  Pair counting
+    uses per-occurrence adjacency (overlaps counted), the common
+    reference formulation.  The DuckDB twin replays the ENTIRE
+    learning loop as chained CTEs whose per-round argmax feeds the
+    next round's replace via scalar subqueries — both engines must
+    learn the identical table, counts included."""
+    s = BPE_SEP
+    pat = BPE_PATTERN.replace("\\", "\\\\").replace("'", "\\'")
+    spark = docs.sparkSession
+    encs = (docs
+            .select(F.explode(
+                F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
+                .alias("seg"))
+            .select(F.expr(
+                f"concat('{s}', array_join(split(seg, ''), '{s}{s}'),"
+                f" '{s}')").alias("enc")))
+    toks = f"split(substring(enc, 2, length(enc) - 2), '{s}{s}')"
+    pairs_expr = (
+        f"CASE WHEN size({toks}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), '{s}', "
+        f"element_at({toks}, i + 1))) END")
+    learned = []
+    for r in range(n_merges):
+        best = (encs
+                .select(F.explode(F.expr(pairs_expr)).alias("pair"))
+                .groupBy("pair").agg(F.count("*").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(1).collect())
+        if not best:
+            break
+        a, b = best[0]["pair"].split(s)
+        learned.append((r, a, b, best[0]["cnt"]))
+        encs = encs.select(F.replace(
+            F.col("enc"), F.lit(f"{s}{a}{s}{s}{b}{s}"),
+            F.lit(f"{s}{a}{b}{s}")).alias("enc"))
+    return spark.createDataFrame(
+        learned, "rank long, a string, b string, pair_count long")
+
+
+def bpe_learn_merges_sql(n_merges: int = 6) -> str:
+    """DuckDB twin of :func:`bpe_learn_merges`: the full learning loop
+    as chained CTEs — round r's best pair is an argmax CTE whose
+    fields feed round r+1's replace through scalar subqueries."""
+    sep = "chr(31)"
+    pat = BPE_PATTERN.replace("\\", "\\\\").replace("'", "''")
+    parts = [f"""segs AS (
+      SELECT unnest(regexp_extract_all(text, '{pat}')) AS seg
+      FROM documents),
+    enc0 AS (
+      SELECT ({sep} || array_to_string(string_split(seg, ''),
+                                       {sep} || {sep}) || {sep}) AS enc
+      FROM segs)"""]
+    for r in range(n_merges):
+        toks = (f"string_split(substring(enc, 2, length(enc) - 2),"
+                f" {sep} || {sep})")
+        parts.append(f"""p{r} AS (
+      SELECT unnest(CASE WHEN len(t) < 2 THEN []
+                    ELSE [t[i] || {sep} || t[i+1]
+                          for i in range(1, len(t))] END) AS pair
+      FROM (SELECT {toks} AS t FROM enc{r})),
+    b{r} AS (
+      SELECT pair, count(*) AS cnt,
+             string_split(pair, {sep})[1] AS a,
+             string_split(pair, {sep})[2] AS b
+      FROM p{r} GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1),
+    enc{r + 1} AS (
+      SELECT replace(enc,
+                     (SELECT {sep} || a || {sep} || {sep} || b || {sep}
+                      FROM b{r}),
+                     (SELECT {sep} || a || b || {sep} FROM b{r})) AS enc
+      FROM enc{r})""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, a, b, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(n_merges))
+    return "WITH " + ",\n    ".join(parts) + "\n" + selects

@@ -433,3 +433,49 @@ def test_contamination_bloom_superset_of_exact(spark):
     assert not rows[10]["contaminated"]
     for r in rows.values():
         assert r["n_bloom_hits"] >= r["n_exact_hits"]   # no false negs
+
+
+def test_bpe_learn_merges_vs_pure_python(spark):
+    """The distributed learner must equal a pure-Python Sennrich loop
+    (per-occurrence pair counts, lexicographic tie-break) on a crafted
+    corpus with ties and cascading merges."""
+    import re
+    from collections import Counter
+
+    from ocr_proofreader_spark.operators.training_ops import (
+        BPE_PATTERN, bpe_learn_merges)
+
+    texts = ["the the there", "banana bandana", "aaa bbb aaa"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+
+    segs = [list(s) for t in texts for s in re.findall(BPE_PATTERN, t)]
+
+    def learn(segs, k):
+        segs = [list(x) for x in segs]
+        out = []
+        for r in range(k):
+            c = Counter()
+            for toks in segs:
+                for i in range(len(toks) - 1):
+                    c[(toks[i], toks[i + 1])] += 1
+            if not c:
+                break
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), cnt = best
+            out.append((r, a, b, cnt))
+            for toks in segs:
+                i = 0
+                while i < len(toks) - 1:
+                    if toks[i] == a and toks[i + 1] == b:
+                        toks[i:i + 2] = [a + b]
+                    else:
+                        i += 1
+            segs = [t for t in segs]
+        return out
+
+    exp = learn(segs, 4)
+    got = [(r["rank"], r["a"], r["b"], r["pair_count"])
+           for r in bpe_learn_merges(docs, n_merges=4).collect()]
+    assert got == exp, (got, exp)
