@@ -101,17 +101,13 @@ def main() -> None:
             run_pass(jobs)
     n_out = outs["proofread_synth"]
 
-    def _median(xs: list[float]) -> float:
-        ys = sorted(xs)
-        m = len(ys) // 2
-        return ys[m] if len(ys) % 2 else (ys[m - 1] + ys[m]) / 2
-
     # min is the headline (least-noise estimate on this host — see
     # BENCH/BASELINE.md), median is recorded alongside so cross-round
     # deltas can be judged without a re-run (VERDICT r04 item 7: the
     # min-vs-recorded gap IS the host noise band, now visible per round)
+    from statistics import median
     timings = {n: min(ts) for n, ts in all_times.items()}
-    medians = {n: round(_median(ts), 3) for n, ts in all_times.items()}
+    medians = {n: round(median(ts), 3) for n, ts in all_times.items()}
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_wall",

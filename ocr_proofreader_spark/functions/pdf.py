@@ -252,6 +252,23 @@ def _stream_objects(data: bytes):
 _EARLY_RE = re.compile(rb"/EarlyChange\s+(\d+)")
 
 
+def _apply_byte_filter(name: bytes, d: bytes, body: bytes) -> bytes:
+    """One byte-stream filter step, shared by the text and image
+    extractors (a single home so /EarlyChange parsing and error
+    classification cannot drift between the two paths).  Raises
+    KeyError for filters that are not byte-to-byte (DCTDecode) so
+    callers dispatch those themselves."""
+    if name == b"FlateDecode":
+        try:
+            return zlib.decompress(body)
+        except zlib.error as e:
+            raise PdfError(f"bad FlateDecode stream: {e}")
+    if name == b"LZWDecode":
+        em = _EARLY_RE.search(d)
+        return lzw_decode_pdf(body, int(em.group(1)) if em else 1)
+    raise KeyError(name)
+
+
 def _decode_stream(d: bytes, body: bytes) -> bytes:
     """Apply the stream dictionary's filter chain.  Raw, /FlateDecode
     (stdlib zlib) and /LZWDecode (the PDF-flavor codec above, honoring
@@ -262,16 +279,9 @@ def _decode_stream(d: bytes, body: bytes) -> bytes:
         return body
     names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
     for name in names:
-        if name == b"FlateDecode":
-            try:
-                body = zlib.decompress(body)
-            except zlib.error as e:
-                raise PdfError(f"bad FlateDecode stream: {e}")
-        elif name == b"LZWDecode":
-            em = _EARLY_RE.search(d)
-            body = lzw_decode_pdf(body,
-                                  int(em.group(1)) if em else 1)
-        else:
+        try:
+            body = _apply_byte_filter(name, d, body)
+        except KeyError:
             raise PdfError(f"unsupported stream filter "
                            f"/{name.decode('latin-1')}; plug a full PDF "
                            f"library into the same extract signature")
@@ -401,18 +411,12 @@ def extract_pdf_images(data: bytes) -> list[np.ndarray]:
                 except (CodecError, ValueError, struct.error,
                         IndexError, ZeroDivisionError) as e:
                     raise PdfError(f"bad DCTDecode stream: {e}")
-            elif name == b"FlateDecode":
-                try:
-                    body = zlib.decompress(body)
-                except zlib.error as e:
-                    raise PdfError(f"bad FlateDecode stream: {e}")
-            elif name == b"LZWDecode":
-                em = _EARLY_RE.search(d)
-                body = lzw_decode_pdf(body,
-                                      int(em.group(1)) if em else 1)
             else:
-                raise PdfError(f"unsupported image filter "
-                               f"/{name.decode('latin-1')}")
+                try:
+                    body = _apply_byte_filter(name, d, body)
+                except KeyError:
+                    raise PdfError(f"unsupported image filter "
+                                   f"/{name.decode('latin-1')}")
         if px is None:                       # raw samples after filters
             w, h = _int_key(d, b"Width"), _int_key(d, b"Height")
             bits = _int_key(d, b"Bits")

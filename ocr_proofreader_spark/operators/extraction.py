@@ -156,7 +156,8 @@ def pdf_image_roundtrip(docs: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from ocr_proofreader_spark.functions.pdf import (extract_pdf_images,
+    from ocr_proofreader_spark.functions.pdf import (PdfError,
+                                                     extract_pdf_images,
                                                      extract_pdf_text,
                                                      synth_pdf_with_image)
     filters = ("DCTDecode", "FlateDecode", "LZWDecode")
@@ -180,7 +181,14 @@ def pdf_image_roundtrip(docs: DataFrame) -> DataFrame:
                 blob = synth_pdf_with_image(t, px, filt,
                                             compress_text=d % 2 == 0)
                 imgs = extract_pdf_images(blob)
-                assert len(imgs) == 1 and (imgs[0] == px).all()
+                if len(imgs) != 1:       # structural parse failure —
+                    # classified, never a bare assert (stripped by -O)
+                    raise PdfError(
+                        f"expected 1 image XObject, got {len(imgs)}")
+                # no pixel-equality assert here: the emitted digest is
+                # computed from the DECODED pixels, so any roundtrip
+                # inexactness hash-mismatches the twin instead of
+                # killing the stage
                 gh, gw, gnc = imgs[0].shape
                 pix = ",".join(str(int(v)) for v in imgs[0][0, 0])
                 rows.append((

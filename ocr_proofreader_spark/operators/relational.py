@@ -358,7 +358,16 @@ def group_quantiles_approx_gate(lineitem: DataFrame,
             .filter(F.col("cents") <= F.col("v"))
             .groupBy("flag", "p", "v")
             .agg(F.max("cum").alias("rank_v")))
-    exact = group_quantiles_disc(lineitem, ps)
+    # exact side from the SAME hist/cum/n frames (not a second
+    # group_quantiles_disc call, which would re-scan and re-aggregate
+    # lineitem — a full duplicate pass at scale; r5 review finding)
+    exact = (cum.join(n, "flag")
+             .select("flag", "cents", "cum", "n",
+                     F.explode(F.array(*[F.lit(p) for p in ps]))
+                     .alias("p"))
+             .filter(F.col("cum") >= F.expr("div(n * p + 99, 100)"))
+             .groupBy("flag", "p")
+             .agg(F.min("cents").alias("q_cents")))
     return (rank.join(n, "flag")
             .join(exact, ["flag", "p"])
             .select("flag", F.col("p").cast("long").alias("p"),

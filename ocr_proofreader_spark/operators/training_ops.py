@@ -1469,7 +1469,12 @@ def bpe_learn_merges_sql(n_merges: int = 6) -> str:
     as chained CTEs — round r's best pair is an argmax CTE whose
     fields feed round r+1's replace through scalar subqueries."""
     sep = "chr(31)"
-    pat = BPE_PATTERN.replace("\\", "\\\\").replace("'", "''")
+    # DuckDB standard string literals do NOT process backslash escapes
+    # (unlike Spark SQL literals): escape quotes ONLY, or the regex
+    # whitespace class [\t\n\x0B\f\r] turns into literal characters
+    # and control whitespace mis-tokenizes (round-5 review finding,
+    # reproduced on tab/CR-bearing docs; same convention as bpe_pat)
+    pat = BPE_PATTERN.replace("'", "''")
     parts = [f"""segs AS (
       SELECT unnest(regexp_extract_all(text, '{pat}')) AS seg
       FROM documents),

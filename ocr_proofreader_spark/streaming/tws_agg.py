@@ -90,7 +90,16 @@ def user_totals_stream(spark: SparkSession, input_path: str,
     emission with the highest event count — counters are monotone, so
     this equals the batch groupBy whatever the batch slicing was).
     total_value is rounded after selection: double summation order
-    differs across slicings by ulps."""
+    differs across slicings by ulps.
+
+    transformWithState requires the RocksDB state store provider; it
+    is set here (runtime-settable session conf) rather than left to
+    the caller — without it the stream start fails with an
+    unsupported-provider error even where protobuf exists."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger",
@@ -178,11 +187,23 @@ def user_totals_stream_auto(spark: SparkSession, input_path: str,
                             ) -> DataFrame:
     """Route to the modern typed-state operator when its protocol can
     initialize (google.protobuf importable), else the fallback — the
-    contract is identical either way."""
+    contract is identical either way.  The native attempt is also
+    belt-and-braces guarded: if its stream fails to START for any
+    environmental reason (state-server init, RocksDB provider JNI,
+    ...), the fallback still answers — both legs compute the same
+    contract, so degrading is always correct (r5 review finding: a
+    protobuf-present container could otherwise error where the
+    fallback would have worked)."""
     import importlib.util
     try:
         has_pb = importlib.util.find_spec("google.protobuf") is not None
     except ModuleNotFoundError:
         has_pb = False
-    fn = user_totals_stream if has_pb else user_totals_stream_fallback
-    return fn(spark, input_path, max_files_per_trigger)
+    if has_pb:
+        try:
+            return user_totals_stream(spark, input_path,
+                                      max_files_per_trigger)
+        except Exception:            # env-conditional start failure
+            pass
+    return user_totals_stream_fallback(spark, input_path,
+                                       max_files_per_trigger)

@@ -128,6 +128,41 @@ def bench_pair(n: int, n4: int, corpus: str, zip_path: str, runs: int,
     return out
 
 
+def _measure_pairs(pairs, levels, bench_dir, runs, results, calib, bw):
+    """Shared setup + measurement for full and --pair merge runs: build
+    the dist zip, ensure corpora, refresh the SAME-WINDOW spin and
+    bandwidth calibrations for the measured levels, and bench each
+    pair into ``results`` (mutated in place)."""
+    from ocr_proofreader_spark.jobs.proofread_job import build_session
+    from ocr_proofreader_spark.sources.synthetic import \
+        ensure_corpus_parquet
+    from scripts.make_dist import main as make_zip
+    zip_path = make_zip()
+    spark = build_session("corpus-gen", master="local[32]",
+                          shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    corpora = {d: ensure_corpus_parquet(
+        spark, os.path.join(bench_dir, "corpus_cache"), d)
+        for _, _, d in pairs}
+    spark.stop()
+    time.sleep(5)
+    # host calibration: ideal-parallel ceiling at each thread count,
+    # measured in THIS window for the levels about to run
+    for procs in levels:
+        calib[procs] = round(host_capacity(procs), 1)
+    print(f"host spin calibration (Mops/s): {calib}", flush=True)
+    results["host_calibration_mops"] = calib
+    for procs in levels:
+        bw[procs] = round(host_bandwidth(procs), 2)
+    results["host_bandwidth_gbps"] = bw
+    for n, n4, docs in pairs:
+        print(f"pair local[{n}] vs local[{n4}] on {docs} docs:",
+              flush=True)
+        r = bench_pair(n, n4, corpora[docs], zip_path, runs, bench_dir)
+        r["docs"] = docs
+        results[f"local{n}_vs_local{n4}"] = r
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
@@ -163,61 +198,15 @@ def main() -> None:
             results = json.load(fh)
         calib = {int(k): v for k, v
                  in results["host_calibration_mops"].items()}
-        from ocr_proofreader_spark.jobs.proofread_job import build_session
-        from ocr_proofreader_spark.sources.synthetic import \
-            ensure_corpus_parquet
-        from scripts.make_dist import main as make_zip
-        zip_path = make_zip()
-        spark = build_session("corpus-gen", master="local[32]",
-                              shuffle_partitions=32)
-        spark.sparkContext.setLogLevel("ERROR")
-        corpora = {d: ensure_corpus_parquet(
-            spark, os.path.join(bench_dir, "corpus_cache"), d)
-            for _, _, d in pairs}
-        spark.stop()
-        time.sleep(5)
-        for procs in levels:
-            calib[procs] = round(host_capacity(procs), 1)
-        print(f"host spin calibration (Mops/s): {calib}", flush=True)
-        results["host_calibration_mops"] = calib
         bw = {int(k): v for k, v
               in results.get("host_bandwidth_gbps", {}).items()}
-        for procs in levels:
-            bw[procs] = round(host_bandwidth(procs), 2)
-        results["host_bandwidth_gbps"] = bw
-        for n, n4, docs in pairs:
-            print(f"pair local[{n}] vs local[{n4}] on {docs} docs:",
-                  flush=True)
-            r = bench_pair(n, n4, corpora[docs], zip_path, runs, bench_dir)
-            r["docs"] = docs
-            results[f"local{n}_vs_local{n4}"] = r
+        _measure_pairs(pairs, levels, bench_dir, runs, results, calib, bw)
         # downstream report covers ALL pairs, not just the re-run one
         pairs = [(n, n4, d // (4 if args.quick else 1))
                  for n, n4, d in PAIRS]
     else:
-        from ocr_proofreader_spark.jobs.proofread_job import build_session
-        from ocr_proofreader_spark.sources.synthetic import \
-            ensure_corpus_parquet
-        from scripts.make_dist import main as make_zip
-        zip_path = make_zip()
-        spark = build_session("corpus-gen", master="local[32]",
-                              shuffle_partitions=32)
-        spark.sparkContext.setLogLevel("ERROR")
-        corpora = {d: ensure_corpus_parquet(
-            spark, os.path.join(bench_dir, "corpus_cache"), d)
-            for _, _, d in pairs}
-        spark.stop()
-        time.sleep(5)
-        # host calibration: ideal-parallel ceiling at each thread count
-        calib = {procs: round(host_capacity(procs), 1) for procs in levels}
-        print(f"host spin calibration (Mops/s): {calib}", flush=True)
-        results = {"host_calibration_mops": calib}
-        for n, n4, docs in pairs:
-            print(f"pair local[{n}] vs local[{n4}] on {docs} docs:",
-                  flush=True)
-            r = bench_pair(n, n4, corpora[docs], zip_path, runs, bench_dir)
-            r["docs"] = docs
-            results[f"local{n}_vs_local{n4}"] = r
+        results, calib, bw = {}, {}, {}
+        _measure_pairs(pairs, levels, bench_dir, runs, results, calib, bw)
 
     # memory-bandwidth ceiling: data-plane stages (scan/shuffle/Arrow/
     # JSON) are bounded by this curve, which saturates ~8 threads here
