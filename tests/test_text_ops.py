@@ -479,3 +479,27 @@ def test_bpe_learn_merges_vs_pure_python(spark):
     got = [(r["rank"], r["a"], r["b"], r["pair_count"])
            for r in bpe_learn_merges(docs, n_merges=4).collect()]
     assert got == exp, (got, exp)
+
+
+def test_bpe_learn_merges_twin_on_control_whitespace(spark):
+    """r5 review regression: the DuckDB twin's regex literal must NOT
+    be backslash-doubled (DuckDB strings have no escape processing) —
+    pinned on a corpus whose tabs/CR/punctuation-adjacent-newlines
+    diverged under the corrupted pattern."""
+    import duckdb
+
+    from ocr_proofreader_spark.operators.training_ops import (
+        bpe_learn_merges, bpe_learn_merges_sql)
+    texts = ["a.\nb c\td", "x \t y\r\nz!", "the the there", "m\x0bn o\fp"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    got = [(r["rank"], r["a"], r["b"], r["pair_count"])
+           for r in bpe_learn_merges(docs, n_merges=4).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    exp = [tuple(r)
+           for r in con.execute(bpe_learn_merges_sql(4)).fetchall()]
+    assert got == exp
