@@ -89,3 +89,49 @@ def test_giant_book_correction_spreads_across_tasks(spark, base_lexicon):
     # blow up past a generous multiple of the correction stage alone —
     # a quadratic or driver-bound segmenter would
     assert t_e2e < 20 * max(t_correct, 1.0), (t_correct, t_e2e)
+
+
+def test_aqe_splits_hot_key_join(spark):
+    """Runtime evidence for the r5 window-to-join rewrites (tfidf df,
+    minhash bucket cap): the claim that a word-keyed JOIN skewed on a
+    stopword is safe because AQE splits the hot partition — which a
+    Window can never be.  A 9:1-hot-key join with production-shaped
+    thresholds must execute with SortMergeJoin(skew=true) and a skewed
+    AQEShuffleRead in the FINAL adaptive plan."""
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold")}
+    try:
+        # scale the detection thresholds down with the test data size,
+        # exactly as the production knobs scale with partition sizes
+        spark.conf.set("spark.sql.adaptive.skewJoin."
+                       "skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive."
+                       "advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin."
+                       "skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("the"))
+            .otherwise(F.concat(F.lit("w"),
+                                (F.col("id") % 5000).cast("string")))
+            .alias("word"), F.col("id"))
+        right = spark.createDataFrame(
+            [("the", 1)] + [(f"w{i}", 1) for i in range(5000)],
+            "word string, df int")
+        joined = left.join(right, "word")
+        assert len(joined.collect()) == 400_000
+        # the DataFrame's OWN query execution ran (collect above), so
+        # its adaptive plan is final and reflects runtime decisions
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan        # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
