@@ -1049,6 +1049,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distinct-value axis — no global sort, no approx sketch
         "group_quantiles": lambda s, d: _rel(s).group_quantiles_disc(
             _t(s, d, "lineitem")),
+        # GROUPED_AGG pandas UDF surface: order-statistic aggregate
+        # (trimmed sum) no single built-in agg expresses
+        "trimmed_sum_priority": lambda s, d:
+            _rel(s).trimmed_sum_by_priority(_t(s, d, "orders")),
         # GK-sketch quantiles gated on the sketch's own rank guarantee
         "group_quantiles_approx": lambda s, d:
             _rel(s).group_quantiles_approx_gate(_t(s, d, "lineitem")),
@@ -1440,6 +1444,21 @@ def _extra_oracles() -> dict[str, str]:
             CROSS JOIN (SELECT unnest([25, 50, 75, 95]) AS p) ps
             WHERE cum >= (n * p + 99) // 100
             GROUP BY flag, p""",
+        # twin of relational.trimmed_sum_by_priority (GROUPED_AGG
+        # pandas UDF): sorted-list slice, exact integer sum
+        "trimmed_sum_priority": """
+            WITH c AS (SELECT o_orderpriority AS priority,
+                              CAST(floor(o_totalprice * 100) AS BIGINT)
+                                  AS cents
+                       FROM orders),
+            g AS (SELECT priority, count(*) AS n,
+                         list_sort(list(cents)) AS xs
+                  FROM c GROUP BY priority)
+            SELECT priority, CAST(n AS BIGINT) AS n_orders,
+                   CAST(list_sum(
+                       xs[(n * 10 // 100) + 1 : n - (n * 10 // 100)])
+                        AS BIGINT) AS trimmed_sum_cents
+            FROM g""",
         # gate twin of relational.group_quantiles_approx_gate: exact
         # quantiles recomputed, rank-guarantee booleans pinned — a GK
         # sketch drifting past n/accuracy fails the hash
