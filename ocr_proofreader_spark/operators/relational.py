@@ -398,15 +398,24 @@ def trimmed_sum_by_priority(orders: DataFrame,
     exist).  Trim count k = floor(n * pct / 100) per side, integer
     math; the output is an exact int64 the DuckDB twin reproduces with
     a sorted-list slice."""
+    import warnings
+
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import PandasUDFType
 
-    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def trimmed_sum(v: pd.Series):
-        a = np.sort(v.to_numpy(np.int64))
-        k = len(a) * trim_pct // 100
-        return int(a[k:len(a) - k].sum())
+    # the explicit functionType (not type hints) is REQUIRED here:
+    # this module's `from __future__ import annotations` stringifies
+    # hints, which pyspark's eval-type inference rejects — silence the
+    # enum-deprecation UserWarning it triggers
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+
+        @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+        def trimmed_sum(v: pd.Series):
+            a = np.sort(v.to_numpy(np.int64))
+            k = len(a) * trim_pct // 100
+            return int(a[k:len(a) - k].sum())
 
     cents = F.floor(F.col("o_totalprice") * 100).cast("long")
     base = orders.select(F.col("o_orderpriority").alias("priority"),
