@@ -308,3 +308,21 @@ def test_pdf_image_dct_struct_escape_classified():
            + b"\nendstream\nendobj\n")
     with pytest.raises(PdfError):
         extract_pdf_images(pdf)
+
+
+def test_pdf_lzw_roundtrip_property():
+    """Hypothesis: ANY byte string round-trips through the PDF LZW
+    codec under both EarlyChange settings (shrinking finds minimal
+    counterexamples if the width-bump alignment ever regresses)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_proofreader_spark.functions.pdf import (lzw_decode_pdf,
+                                                     lzw_encode_pdf)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=4096), st.integers(0, 1))
+    def roundtrip(data, ec):
+        assert lzw_decode_pdf(lzw_encode_pdf(data, ec), ec) == data
+
+    roundtrip()
