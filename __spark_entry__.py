@@ -1031,6 +1031,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (Sennrich loop); twin replays the whole loop in chained CTEs
         "bpe_learn_merges": lambda s, d: ops.bpe_learn_merges(
             _t(s, d, "documents")),
+        # Misra-Gries heavy hitters: per-partition k-counter summaries,
+        # only p*k rows shuffle; the no-false-negative theorem is the
+        # pinned gate (candidate set itself is partitioning-dependent)
+        "heavy_hitters": lambda s, d: ops.heavy_hitters_gate(
+            _t(s, d, "documents")),
         "distinct_token_sketch": lambda s, d: ops.distinct_token_sketch(
             _t(s, d, "documents")),
         "range_join": lambda s, d: _range_join(s, d),
@@ -1357,6 +1362,17 @@ def _extra_oracles() -> dict[str, str]:
             SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_exact,
                    true AS within_tol
             FROM (SELECT unnest({_TOKS}) AS word FROM documents)""",
+        # gate twin of training_ops.heavy_hitters_gate: the exact heavy
+        # set (freq * k > N) recomputed; membership booleans pinned
+        # true by the Misra-Gries theorem — a sketch false negative
+        # fails the hash
+        "heavy_hitters": f"""
+            WITH w AS (SELECT unnest({_TOKS}) AS word FROM documents),
+            e AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+            n AS (SELECT count(*) AS n_tokens FROM w)
+            SELECT word, CAST(freq AS BIGINT) AS freq,
+                   true AS found_by_sketch
+            FROM e, n WHERE freq * 64 > n_tokens""",
         # twin of training_ops.bpe_learn_merges: the full learning loop
         # in SQL — each round's argmax feeds the next round's replace
         "bpe_learn_merges": __import__(

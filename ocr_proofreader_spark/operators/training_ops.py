@@ -1506,3 +1506,60 @@ def bpe_learn_merges_sql(n_merges: int = 6) -> str:
         f"CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
         for r in range(n_merges))
     return "WITH " + ",\n    ".join(parts) + "\n" + selects
+
+
+def heavy_hitters_gate(docs: DataFrame, k: int = 64) -> DataFrame:
+    """Misra-Gries heavy hitters with the algorithm's own guarantee as
+    the contract: every word with true frequency > N/k MUST appear in
+    the merged candidate summary (no false negatives — the theorem,
+    not a tolerance).
+
+    Scale shape: each partition streams its tokens once through a
+    k-counter Misra-Gries summary inside mapInPandas (state = k dict
+    entries, regardless of partition size); only the p*k summary rows
+    shuffle — candidate generation for a 10^12-token corpus costs a
+    summary-sized aggregate instead of a full word-keyed shuffle.
+    Proof sketch of the gate: per partition, MG undercounts any word
+    by at most n_p/k, so the summed merged count of w is >=
+    true(w) - N/k > 0 whenever true(w) > N/k — w must survive.
+
+    The candidate SET depends on partitioning (not deterministic), so
+    it stays internal; the OUTPUT is the deterministic exact side —
+    every qualifying word, its exact count, and the pinned membership
+    boolean (exact counts recomputed by the DuckDB twin; a false
+    negative flips the boolean and fails the hash)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    words = docs.select(F.explode(F.expr(TOKENS)).alias("word"))
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["word"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < k:
+                    counters[w] = 1
+                else:                      # decrement-all step
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(list(counters.items()),
+                           columns=["word", "mg_count"])
+
+    candidates = (words.mapInPandas(mg, "word string, mg_count long")
+                  .groupBy("word").agg(F.sum("mg_count").alias("mg")))
+    exact = words.groupBy("word").agg(F.count("*").alias("freq"))
+    n = words.agg(F.count("*").alias("n_tokens"))
+    heavy = (exact.crossJoin(F.broadcast(n))
+             .filter(F.col("freq") * k > F.col("n_tokens")))
+    return (heavy.join(candidates, "word", "left")
+            .select("word", F.col("freq").cast("long").alias("freq"),
+                    F.col("mg").isNotNull().alias("found_by_sketch"))
+            )

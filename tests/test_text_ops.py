@@ -503,3 +503,25 @@ def test_bpe_learn_merges_twin_on_control_whitespace(spark):
     exp = [tuple(r)
            for r in con.execute(bpe_learn_merges_sql(4)).fetchall()]
     assert got == exp
+
+
+def test_heavy_hitters_mg_guarantee(spark):
+    """Misra-Gries no-false-negative gate on a crafted skewed corpus
+    with MANY partitions and a tiny k — the adversarial regime for the
+    decrement step — plus the exact-threshold semantics (freq*k > N
+    strictly)."""
+    from ocr_proofreader_spark.operators import training_ops as ops
+    # 12 partitions, hot word 'h' ~ 30%, k=4 -> heavy iff freq > N/4
+    rows = []
+    for i in range(600):
+        w = "h" if i % 10 < 3 else f"t{i % 40}"
+        rows.append((i, w + (" filler" if i % 2 else "")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(12)
+    out = {r["word"]: r for r in ops.heavy_hitters_gate(
+        docs, k=4).collect()}
+    # exact: 'h' 180 + 'filler' 300 over N=900 -> filler heavy (>225),
+    # h not (180 < 225)
+    assert set(out) == {"filler"}
+    assert out["filler"]["freq"] == 300
+    assert out["filler"]["found_by_sketch"]
