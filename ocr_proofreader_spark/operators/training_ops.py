@@ -338,27 +338,11 @@ def lang_id_ngram(docs: DataFrame) -> DataFrame:
                                F.lit("fr")).otherwise(F.lit("en"))))
 
 
-def line_dedup_corpus(docs: DataFrame) -> DataFrame:
-    """Corpus-wide duplicate-LINE removal (the C4 pipeline step): every
-    line that already occurred anywhere in the corpus — ordered by
-    (doc_id, line index), the deterministic 'first writer wins' rule —
-    is dropped; docs are reassembled from their surviving lines.
-
-    Plan: explode to (doc_id, idx, line) ->
-    ``groupBy(line).agg(min(struct(doc_id, idx)))`` selects the
-    first-writer occurrence of every line (struct comparison is
-    lexicographic over (doc_id, idx), exactly the old window's order),
-    and the aggregate's output row IS the kept occurrence — no window,
-    no re-join.  Unlike ``Window.partitionBy(line)`` + ``row_number``
-    (which drags every copy of a 10^9-occurrence boilerplate line into
-    ONE partition with no map-side reduction — a single straggler task
-    at C4 scale), the aggregate gets a partial+final split: each map
-    task pre-reduces its copies of a hot line to one candidate row, so
-    the shuffle carries O(#map-tasks) rows per line value, not
-    O(#occurrences).  Two shuffles total (line agg; doc regroup), both
-    partial-agg-friendly; no UDF.  Emits a digest of the cleaned text
-    plus kept/removed counts so the result is scalar-hashable by the
-    driver canonicalizer."""
+def line_dedup_texts(docs: DataFrame) -> DataFrame:
+    """Text-preserving core of :func:`line_dedup_corpus`: per doc the
+    REBUILT cleaned text plus kept/total line counts — the form the
+    curation pipeline consumes (the contract query projects digests
+    from this so its output stays scalar-hashable)."""
     lines = (docs
              .select("doc_id",
                      F.posexplode(F.split("text", "\n"))
@@ -380,7 +364,31 @@ def line_dedup_corpus(docs: DataFrame) -> DataFrame:
     totals = docs.select(
         "doc_id",
         F.expr("size(split(text, '\\n'))").cast("long").alias("n_lines"))
-    return (totals.join(rebuilt, "doc_id", "left")
+    return totals.join(rebuilt, "doc_id", "left")
+
+
+def line_dedup_corpus(docs: DataFrame) -> DataFrame:
+    """Corpus-wide duplicate-LINE removal (the C4 pipeline step): every
+    line that already occurred anywhere in the corpus — ordered by
+    (doc_id, line index), the deterministic 'first writer wins' rule —
+    is dropped; docs are reassembled from their surviving lines.
+
+    Plan: explode to (doc_id, idx, line) ->
+    ``groupBy(line).agg(min(struct(doc_id, idx)))`` selects the
+    first-writer occurrence of every line (struct comparison is
+    lexicographic over (doc_id, idx), exactly the old window's order),
+    and the aggregate's output row IS the kept occurrence — no window,
+    no re-join.  Unlike ``Window.partitionBy(line)`` + ``row_number``
+    (which drags every copy of a 10^9-occurrence boilerplate line into
+    ONE partition with no map-side reduction — a single straggler task
+    at C4 scale), the aggregate gets a partial+final split: each map
+    task pre-reduces its copies of a hot line to one candidate row, so
+    the shuffle carries O(#map-tasks) rows per line value, not
+    O(#occurrences).  Two shuffles total (line agg; doc regroup), both
+    partial-agg-friendly; no UDF.  Emits a digest of the cleaned text
+    plus kept/removed counts so the result is scalar-hashable by the
+    driver canonicalizer."""
+    return (line_dedup_texts(docs)
             .select("doc_id",
                     F.md5(F.coalesce("clean_text", F.lit("")))
                     .alias("clean_digest"),
