@@ -1058,6 +1058,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (trimmed sum) no single built-in agg expresses
         "trimmed_sum_priority": lambda s, d:
             _rel(s).trimmed_sum_by_priority(_t(s, d, "orders")),
+        # reshaping surface: explicit-value-list pivot (single agg, no
+        # discovery scan) and its unpivot/melt inverse
+        "events_pivot": lambda s, d: _rel(s).events_pivot(
+            _t(s, d, "events")),
+        "events_unpivot": lambda s, d: _rel(s).events_unpivot(
+            _t(s, d, "events")),
         # GK-sketch quantiles gated on the sketch's own rank guarantee
         "group_quantiles_approx": lambda s, d:
             _rel(s).group_quantiles_approx_gate(_t(s, d, "lineitem")),
@@ -1460,6 +1466,25 @@ def _extra_oracles() -> dict[str, str]:
             CROSS JOIN (SELECT unnest([25, 50, 75, 95]) AS p) ps
             WHERE cum >= (n * p + 99) // 100
             GROUP BY flag, p""",
+        # twins of the reshaping surface: the pivot respelled as
+        # portable CASE sums; the unpivot as its long-form UNION
+        "events_pivot": """
+            SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+                   CAST(sum(CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'view'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_signup
+            FROM events GROUP BY 1""",
+        "events_unpivot": """
+            SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+                   event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events
+            WHERE event_type IN ('click', 'view', 'purchase', 'signup')
+            GROUP BY 1, 2""",
         # twin of relational.trimmed_sum_by_priority (GROUPED_AGG
         # pandas UDF): sorted-list slice, exact integer sum
         "trimmed_sum_priority": """

@@ -428,3 +428,42 @@ def trimmed_sum_by_priority(orders: DataFrame,
     counts = base.groupBy("priority").agg(F.count("*").alias("n_orders"))
     return (trimmed.join(counts, "priority")
             .select("priority", "n_orders", "trimmed_sum_cents"))
+
+
+EVENT_TYPES = ("click", "view", "purchase", "signup")
+
+
+def events_pivot(events: DataFrame) -> DataFrame:
+    """Reshaping surface, wide direction: per user-bucket event-type
+    counts via ``groupBy().pivot()`` with an EXPLICIT value list —
+    at scale an unlisted pivot costs a full extra distinct-scan to
+    discover the columns and risks an unbounded-width schema; pinning
+    the list keeps the plan a single partial+final aggregate.  The
+    DuckDB twin spells the same reshape as portable CASE sums."""
+    bucket = (F.col("user_id") % 10).cast("long").alias("user_bucket")
+    return (events
+            .select(bucket, "event_type")
+            .groupBy("user_bucket")
+            .pivot("event_type", list(EVENT_TYPES))
+            .count()
+            # count() leaves NULL for absent combos; a count is 0
+            .select("user_bucket",
+                    *[F.coalesce(F.col(t), F.lit(0)).cast("long")
+                      .alias(f"n_{t}") for t in EVENT_TYPES]))
+
+
+def events_unpivot(events: DataFrame) -> DataFrame:
+    """Reshaping surface, long direction: the pivoted wide table
+    melted back to (bucket, event_type, n) rows with
+    ``DataFrame.unpivot`` — the round-trip pins that pivot/unpivot are
+    exact inverses over the explicit value list.  Zero-count cells are
+    dropped on both sides so the contract is corpus-independent."""
+    wide = events_pivot(events)
+    return (wide.unpivot(
+        "user_bucket",
+        [f"n_{t}" for t in EVENT_TYPES],
+        "event_type", "n")
+        .withColumn("event_type",
+                    F.expr("substring(event_type, 3)"))
+        .filter(F.col("n") > 0)
+        .select("user_bucket", "event_type", F.col("n").cast("long")))
