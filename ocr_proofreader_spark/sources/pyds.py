@@ -29,7 +29,8 @@ from __future__ import annotations
 from typing import Iterator
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition)
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 from pyspark.sql.types import StructType
 
 from ocr_proofreader_spark.schemas import DOCUMENTS_IN
@@ -71,3 +72,56 @@ class SyntheticBooksDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SyntheticBooksReader:
         return SyntheticBooksReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# streaming sibling: a custom Python STREAMING source (Spark 4
+# SimpleDataSourceStreamReader).  Offsets are plain doc counters, so
+# the stream is deterministic and resumable: restarting from a
+# checkpointed offset re-emits exactly the remaining docs — the
+# exactly-once property the engine's other streams get from the file
+# source, here provided by a user-defined connector.
+
+class SyntheticBooksStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", "200"))
+        self.seed = int(options.get("seed", "42"))
+        self.batch = int(options.get("batch_docs", "50"))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        from fixtures.gen import CorpusGenerator
+        lo = start["next"]
+        hi = min(lo + self.batch, self.n_docs)
+        gen = CorpusGenerator(seed=self.seed)
+        rows = []
+        for i in range(lo, hi):
+            doc_id, spans, _ = gen.gen_doc(i)
+            rows.append((doc_id,
+                         [(s["kind"], s["text"], s["media_ref"],
+                           s["offset"]) for s in spans]))
+        return iter(rows), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay for recovery: same rows for same range
+        saved = self.batch
+        self.batch = end["next"] - start["next"]
+        try:
+            it, _ = self.read(start)
+        finally:
+            self.batch = saved
+        return it
+
+
+class SyntheticBooksStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_books_stream"
+
+    def schema(self) -> StructType:
+        return DOCUMENTS_IN
+
+    def simpleStreamReader(self, schema: StructType):
+        return SyntheticBooksStreamReader(self.options)
