@@ -78,8 +78,13 @@ def _proofread_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = interleaved_from_flat(flat)
     lex = _corpus_lexicon(spark, flat)
     # derivation bounds span counts (~2 spans per 40 words), so the skew
-    # branch can be statically pruned: threshold above any possible doc
-    cfg = RunConfig(chunk_threshold_spans=1 << 30)
+    # branch is statically pruned (threshold None): the old 1<<30
+    # threshold still paid the union's second branch — which here meant
+    # re-running the WHOLE interleaved_from_flat Python derivation two
+    # more times (spans + freq legs of the chunked plan) just to filter
+    # every row out (r6 measurement, plans/r06/proofread_flat_before.txt
+    # shows three MapInPandas derivation scans; _after.txt shows one)
+    cfg = RunConfig(chunk_threshold_spans=None)
     return proofread(spark, docs, cfg, broadcast_lexicon(spark, lex))
 
 

@@ -31,8 +31,11 @@ class RunConfig:
     # 2000-span book (~1 MB text) is cheaper inline in the shuffle-free
     # fast path (~170 ms) than amortizing the skew path's two shuffles;
     # the chunked path pays off for genuinely giant books (>~2 MB text),
-    # which is what it exists for at 10^12-doc scale.
-    chunk_threshold_spans: int = 4096
+    # which is what it exists for at 10^12-doc scale.  None = the caller
+    # guarantees no doc can reach any threshold (bounded derivations):
+    # proofread() then skips the skew branch entirely instead of paying
+    # its second input pass for a provably-empty union arm (r6).
+    chunk_threshold_spans: int | None = 4096
     chunk_spans: int = 64               # spans per chunk on the skew path
     num_buckets: int = 16               # resumability unit (S2/S16)
     arrow_batch_docs: int = 256         # spark.sql.execution.arrow.maxRecordsPerBatch

@@ -72,17 +72,19 @@ def _make_fast_fn(lex_bc, freq_k: int):
 
 
 def rebalance(docs: DataFrame, cfg: RunConfig) -> DataFrame:
-    """S4 placement: salt + repartitionByRange spreads hot input splits.
+    """S4 placement: hash repartition by doc_id spreads hot input splits.
 
-    The salt decorrelates doc_id ranges from input file layout so one hot
-    file cannot pin a range of books to one task."""
+    Hash partitioning decorrelates doc_id ranges from input file layout
+    (one hot file cannot pin a range of books to one task) exactly like
+    the salted repartitionByRange it replaces, but without the range
+    variant's boundary-sampling pass — RangePartitioning runs a separate
+    sampling job that re-executes the whole child plan (a second full
+    scan of the spans payload) before the real exchange, measured ~1 s
+    of the bench's proofread_synth (r6; guide section 2.4: remove
+    shuffles/passes outright)."""
     if not cfg.rebalance_partitions:
         return docs
-    salted = docs.withColumn(
-        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.nsalt)).cast("int"))
-    return (salted
-            .repartitionByRange(cfg.rebalance_partitions, "_salt", "doc_id")
-            .drop("_salt"))
+    return docs.repartition(cfg.rebalance_partitions, "doc_id")
 
 
 def proofread_fast(docs: DataFrame, lex_bc, cfg: RunConfig) -> DataFrame:
@@ -251,6 +253,16 @@ def proofread(spark: SparkSession, docs: DataFrame,
     persist an ``n_spans`` (or byte-size) column at ingest so both branch
     filters prune row groups via min/max stats — the operator uses the
     persisted column automatically when present."""
+    if cfg.chunk_threshold_spans is None:
+        # caller guarantees no doc can reach the skew threshold (e.g. a
+        # derivation that bounds span counts): the union with an
+        # always-empty chunked branch would still pay the branch's
+        # second scan — for derived inputs a second full mapInPandas
+        # derivation pass — plus its five empty-exchange stages (r6
+        # measurement; guide section 1.2: don't compute what you throw
+        # away).  Equivalence when the bound holds is pinned by
+        # tests/test_skew.py::test_threshold_none_equals_union.
+        return proofread_fast(docs, lex_bc, cfg)
     size_col = (F.col("n_spans") if "n_spans" in docs.columns
                 else F.size("spans"))
     small = docs.filter(size_col <= cfg.chunk_threshold_spans)

@@ -479,8 +479,14 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id, shingle (distinct word n-grams)."""
-    return (docs
+    """doc_id, shingle (distinct word n-grams).
+
+    Input is spread to the session parallelism (guide section 2.5): a
+    single-file corpus otherwise runs the shingle build, the 4x band
+    explode and the per-row md5 partial aggregate above it all on one
+    scan task."""
+    from ocr_proofreader_spark.partitioning import spread_input
+    return (spread_input(docs.select("doc_id", "text"), "doc_id")
             .withColumn("toks", F.expr(TOKENS))
             .filter(F.expr(f"size(toks) >= {n}"))
             .select("doc_id", F.explode(F.expr(
@@ -549,8 +555,13 @@ def simhash(docs: DataFrame, bits: int = 8) -> DataFrame:
     """md5-based SimHash over the token stream (engine-portable).
 
     Each token votes +-1 per bit of an 8-bit md5-derived value; the doc's
-    simhash packs the majority votes."""
-    words = docs.select(
+    simhash packs the majority votes.
+
+    Input spread to the session parallelism (guide section 2.5): the
+    token explode + per-token md5 partial aggregate are the whole cost
+    and otherwise serialize on a single-file corpus's one scan task."""
+    from ocr_proofreader_spark.partitioning import spread_input
+    words = spread_input(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(F.expr(TOKENS)).alias("word"))
     v = F.conv(F.substring(F.md5("word"), 1, 2), 16, 10).cast("int")
     votes = [F.sum(F.when(F.shiftright(v, b).bitwiseAND(F.lit(1)) == 1,
@@ -678,7 +689,8 @@ def simhash_wide(docs: DataFrame, bits: int = 16) -> DataFrame:
     """``simhash`` generalized past 8 bits: md5-derived per-token bit
     votes, packed majority.  Kept separate so the 8-bit driver query's
     hash stays frozen."""
-    words = docs.select(
+    from ocr_proofreader_spark.partitioning import spread_input
+    words = spread_input(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(F.expr(TOKENS)).alias("word"))
     nhex = (bits + 3) // 4
     v = F.conv(F.substring(F.md5("word"), 1, nhex), 16, 10).cast("long")

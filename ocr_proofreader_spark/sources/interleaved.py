@@ -60,7 +60,16 @@ def _doc_to_spans(doc_id: int, text: str) -> list[dict]:
 
 
 def interleaved_from_flat(flat_docs: DataFrame) -> DataFrame:
-    """flat documents(doc_id:int64, text, ...) -> (doc_id:string, spans)."""
+    """flat documents(doc_id:int64, text, ...) -> (doc_id:string, spans).
+
+    The input is spread to the session parallelism first (guide section
+    2.5): the driver's flat table arrives as ONE parquet file, so
+    without it this Python derivation — and every proofread/media pass
+    stacked on it — runs as a single task.  The shuffle moves only the
+    narrow (doc_id, text) projection and disappears at any scale where
+    the scan already has enough splits."""
+    from ocr_proofreader_spark.partitioning import spread_input
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
@@ -68,4 +77,5 @@ def interleaved_from_flat(flat_docs: DataFrame) -> DataFrame:
                 "spans": [_doc_to_spans(int(d), t)
                           for d, t in zip(pdf["doc_id"], pdf["text"])],
             })
-    return flat_docs.select("doc_id", "text").mapInPandas(fn, DOCUMENTS_IN)
+    narrow = spread_input(flat_docs.select("doc_id", "text"), "doc_id")
+    return narrow.mapInPandas(fn, DOCUMENTS_IN)

@@ -38,10 +38,21 @@ def generate_corpus(spark: SparkSession, n_docs: int, seed: int = 42,
 
 def ensure_corpus_parquet(spark: SparkSession, cache_dir: str, n_docs: int,
                           seed: int = 42) -> str:
-    """Generate (once, cached) a bench corpus; returns the parquet path."""
+    """Generate (once, cached) a bench corpus; returns the parquet path.
+
+    The cached table persists an ``n_spans`` statistics column next to
+    the spans — exactly the at-ingest column operators/proofread.py
+    recommends for 100 TB inputs: the fast/skew branch split predicate
+    then reaches the parquet scan as a pushed filter and row-group
+    min/max stats prune the (normally empty) skew branch's second scan
+    instead of re-decoding every spans cell to evaluate size(spans)
+    (tests/test_plans.py::test_n_spans_column_prunes_branch_scans pins
+    the pushdown both ways and byte-identical output)."""
+    from pyspark.sql import functions as F
     path = os.path.join(cache_dir, f"synth_{n_docs}_{seed}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        generate_corpus(spark, n_docs, seed).write.mode(
-            "overwrite").parquet(path)
+        (generate_corpus(spark, n_docs, seed)
+         .withColumn("n_spans", F.size("spans"))
+         .write.mode("overwrite").parquet(path))
     return path

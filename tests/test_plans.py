@@ -18,14 +18,19 @@ def test_fast_path_is_shuffle_free(spark, corpus_small, base_lexicon):
     assert "MapInPandas" in P.physical_plan(out)
 
 
-def test_rebalance_adds_exactly_one_range_exchange(spark, corpus_small,
-                                                   base_lexicon):
+def test_rebalance_adds_exactly_one_hash_exchange(spark, corpus_small,
+                                                  base_lexicon):
+    """r6: hash repartition by doc_id, NOT repartitionByRange — range
+    partitioning runs a boundary-sampling job that re-executes the
+    whole child plan (a second full scan of the spans payload) before
+    the real exchange."""
     docs = spark.read.parquet(f"{corpus_small}/documents.parquet")
     lex_bc = broadcast_lexicon(spark, base_lexicon)
     out = proofread_fast(docs, lex_bc, RunConfig(rebalance_partitions=8))
     plan = P.physical_plan(out)
     assert P.count_exchanges(out) == 1
-    assert "rangepartitioning" in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "rangepartitioning" not in plan
 
 
 def test_word_freq_has_mapside_combine_single_shuffle(spark, corpus_small):

@@ -91,6 +91,28 @@ def test_giant_book_correction_spreads_across_tasks(spark, base_lexicon):
     assert t_e2e < 20 * max(t_correct, 1.0), (t_correct, t_e2e)
 
 
+def test_threshold_none_equals_union(spark, corpus_small, base_lexicon):
+    """r6: chunk_threshold_spans=None (caller guarantees no doc reaches
+    any threshold) must be byte-identical to the default fast+skew
+    union, while planning zero exchanges and a single scan."""
+    from ocr_proofreader_spark.plans import physical as P
+
+    docs = spark.read.parquet(f"{corpus_small}/documents.parquet")
+    lex_bc = broadcast_lexicon(spark, base_lexicon)
+    out_none = proofread(spark, docs, RunConfig(chunk_threshold_spans=None),
+                         lex_bc)
+    out_union = proofread(spark, docs, RunConfig(), lex_bc)
+
+    plan = P.physical_plan(out_none)
+    assert P.count_exchanges(out_none) == 0
+    assert plan.count("Scan parquet") == 1
+
+    key = lambda r: r["doc_id"]  # noqa: E731
+    a = sorted(out_none.collect(), key=key)
+    b = sorted(out_union.collect(), key=key)
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
 def test_aqe_splits_hot_key_join(spark):
     """Runtime evidence for the r5 window-to-join rewrites (tfidf df,
     minhash bucket cap): the claim that a word-keyed JOIN skewed on a
