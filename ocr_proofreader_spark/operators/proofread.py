@@ -81,9 +81,24 @@ def rebalance(docs: DataFrame, cfg: RunConfig) -> DataFrame:
     sampling job that re-executes the whole child plan (a second full
     scan of the spans payload) before the real exchange, measured ~1 s
     of the bench's proofread_synth (r6; guide section 2.4: remove
-    shuffles/passes outright)."""
+    shuffles/passes outright).
+
+    The exchange fires only when the input is NARROWER than the session
+    parallelism: a scan that already yields at least one split per core
+    is already spread (each task's share is bounded by maxPartitionBytes
+    / one row group), and re-shuffling the whole spans payload through
+    disk just to hit the knob's exact partition count buys nothing —
+    measured another ~1 s of proofread_synth (guide section 2.4; the
+    guard is the same scale-adaptive shape as partitioning.spread_input:
+    at 100 TB the scan has thousands of splits and the knob only fires
+    for narrow or single-row-group inputs, where it is needed)."""
     if not cfg.rebalance_partitions:
         return docs
+    if not docs.isStreaming:
+        sc = docs.sparkSession.sparkContext
+        if docs.rdd.getNumPartitions() >= min(cfg.rebalance_partitions,
+                                              sc.defaultParallelism):
+            return docs
     return docs.repartition(cfg.rebalance_partitions, "doc_id")
 
 
@@ -267,6 +282,17 @@ def proofread(spark: SparkSession, docs: DataFrame,
                 else F.size("spans"))
     small = docs.filter(size_col <= cfg.chunk_threshold_spans)
     big = docs.filter(size_col > cfg.chunk_threshold_spans)
+    if "n_spans" in docs.columns and not docs.isStreaming \
+            and big.limit(1).count() == 0:
+        # Giant books are rare: most runs carry NONE, yet the union arm
+        # still costs the chunked plan's two extra scans and ~5 empty
+        # exchange stages (~0.6 s/bench run, r6).  With a persisted
+        # n_spans column the emptiness probe is one pruned footer-stats
+        # scan with LIMIT 1 — row groups whose max(n_spans) is under the
+        # threshold are skipped without decoding a single spans cell —
+        # so probing costs ~nothing at any scale, and is only attempted
+        # when the column (and therefore the pushdown) exists.
+        return proofread_fast(small, lex_bc, cfg)
     out_small = proofread_fast(small, lex_bc, cfg)
     out_big = proofread_chunked(spark, big, lex_bc, cfg)
     return out_small.unionByName(out_big)

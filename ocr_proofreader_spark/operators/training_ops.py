@@ -484,7 +484,13 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     Input is spread to the session parallelism (guide section 2.5): a
     single-file corpus otherwise runs the shingle build, the 4x band
     explode and the per-row md5 partial aggregate above it all on one
-    scan task."""
+    scan task.  Keyed by doc_id on purpose: the hash partitioning then
+    satisfies the downstream groupBy(doc_id, band) clustering, so the
+    signature aggregate needs NO exchange of the ~4-rows-per-doc sig
+    stream at all (one exchange for the whole query-side pipeline); a
+    round-robin spread measured ~15% slower because every consumer then
+    pays the post-aggregate exchange the keying elides (r6 A/B, same
+    session)."""
     from ocr_proofreader_spark.partitioning import spread_input
     return (spread_input(docs.select("doc_id", "text"), "doc_id")
             .withColumn("toks", F.expr(TOKENS))
@@ -908,15 +914,35 @@ def _norm_expr(a: str) -> str:
     return f"sqrt({_dot_expr(a, a)})"
 
 
+def _seq_norm(v) -> float:
+    """Driver-side replica of ``_norm_expr`` on a literal vector: the
+    SAME left-to-right double fold (acc + x*x) the SQL aggregate runs,
+    so substituting the Python constant for the per-row expression is
+    bit-identical (numpy's pairwise sum would NOT be — r6).  Hoisting it
+    saves a dim-length interpreted HOF fold per scanned row."""
+    import math
+    acc = 0.0
+    for x in v:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def _cosine_raw(emb: DataFrame, query_vec_id: int) -> DataFrame:
-    """vec_id + full-precision cosine vs one broadcast query row."""
+    """vec_id + full-precision cosine vs one broadcast query row.
+
+    The query norm is computed ONCE on the broadcast side (r6): it is a
+    per-query constant, and the old per-row ``sqrt(aggregate(q...))``
+    re-ran a dim-length fold for every scanned vector — a third of the
+    scan's HOF work.  Same operations on the same doubles, so the
+    division is bit-identical and the driver hashes are unchanged."""
     q = (emb.filter(F.col("vec_id") == query_vec_id)
-         .select(F.col("embedding").alias("q")))
+         .select(F.col("embedding").alias("q"))
+         .withColumn("q_norm", F.expr(_norm_expr("q"))))
     return (emb.crossJoin(F.broadcast(q))
             .select("vec_id",
                     (F.expr(_dot_expr("embedding", "q"))
                      / (F.expr(_norm_expr("embedding"))
-                        * F.expr(_norm_expr("q")))).alias("c")))
+                        * F.col("q_norm"))).alias("c")))
 
 
 def cosine_to_query(emb: DataFrame, query_vec_id: int = 0) -> DataFrame:
@@ -1022,7 +1048,7 @@ def ann_topk_lsh(emb: DataFrame, query_vec_id: int = 0, k: int = 10,
                     F.round(
                         F.expr(_dot_expr("embedding", "q"))
                         / (F.expr(_norm_expr("embedding"))
-                           * F.expr(_norm_expr("q"))), 3)
+                           * F.lit(_seq_norm(qv))), 3)
                     .alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(k))
@@ -1185,7 +1211,7 @@ def ann_topk_ivf(emb: DataFrame, query_vec_id: int = 0, k: int = 10,
     return (cand.withColumn("q", _lit_vec(qv))
             .withColumn("c", F.expr(_dot_expr("embedding", "q"))
                         / (F.expr(_norm_expr("embedding"))
-                           * F.expr(_norm_expr("q"))))
+                           * F.lit(_seq_norm(qv))))
             .orderBy(F.desc("c"), F.asc("vec_id"))
             .limit(k)
             .select("vec_id", "cell",
@@ -1311,12 +1337,16 @@ def label_centroid_sim(emb: DataFrame) -> DataFrame:
             .select("label", "n",
                     F.expr("transform(sumvec, x -> x / n)")
                     .alias("centroid")))
-    joined = emb.join(F.broadcast(cent), "label")
+    # centroid norm hoisted to the (tiny) broadcast side — a per-label
+    # constant the old expression re-folded for every member row (r6;
+    # same doubles, same fold order, so cosines are bit-identical)
+    joined = emb.join(F.broadcast(cent.withColumn(
+        "c_norm", F.expr(_norm_expr("centroid")))), "label")
     return (joined
             .select("label",
                     (F.expr(_dot_expr("embedding", "centroid"))
                      / (F.expr(_norm_expr("embedding"))
-                        * F.expr(_norm_expr("centroid")))).alias("cos"))
+                        * F.col("c_norm"))).alias("cos"))
             .groupBy("label")
             .agg(F.round(F.avg("cos"), 3).alias("avg_cohesion"),
                  F.count("*").alias("n_members")))

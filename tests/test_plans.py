@@ -402,7 +402,16 @@ def test_n_spans_column_prunes_branch_scans(spark, corpus_small,
     docs2 = spark.read.parquet(dst)
     assert "n_spans" in docs2.columns
 
-    cfg = RunConfig()
+    # threshold at the median span count so BOTH branches are non-empty:
+    # r6's emptiness probe otherwise (correctly) drops the skew arm from
+    # the plan before there is a GreaterThan filter to pin
+    med = int(docs.selectExpr(
+        "percentile(size(spans), 0.5) as m").collect()[0]["m"])
+    cfg = RunConfig(chunk_threshold_spans=max(1, med))
+    n_big = docs.filter(F.size("spans")
+                        > cfg.chunk_threshold_spans).count()
+    assert 0 < n_big < docs.count()
+
     lex_bc = broadcast_lexicon(spark, base_lexicon)
     out_plain = proofread(spark, docs, cfg, lex_bc)
     out_pruned = proofread(spark, docs2, cfg, lex_bc)

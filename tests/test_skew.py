@@ -113,6 +113,32 @@ def test_threshold_none_equals_union(spark, corpus_small, base_lexicon):
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
 
 
+def test_nspans_probe_drops_empty_skew_arm(spark, corpus_small,
+                                           base_lexicon, tmp_path):
+    """r6: when the input persists n_spans and the (pruned-footer-scan)
+    emptiness probe finds no doc over the threshold, the plan must be
+    the fast path alone — no union arm, no chunked-branch scans — and
+    byte-identical to the full union."""
+    from ocr_proofreader_spark.plans import physical as P
+
+    docs = spark.read.parquet(f"{corpus_small}/documents.parquet")
+    dst = str(tmp_path / "docs_nspans")
+    docs.withColumn("n_spans", F.size("spans")).write.parquet(dst)
+    docs2 = spark.read.parquet(dst)
+    lex_bc = broadcast_lexicon(spark, base_lexicon)
+
+    out = proofread(spark, docs2, RunConfig(), lex_bc)
+    plan = P.physical_plan(out)
+    assert plan.count("Scan parquet") == 1
+    assert "Union" not in plan
+
+    key = lambda r: r["doc_id"]  # noqa: E731
+    a = sorted(out.collect(), key=key)
+    b = sorted(proofread(spark, docs, RunConfig(), lex_bc).collect(),
+               key=key)
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
 def test_aqe_splits_hot_key_join(spark):
     """Runtime evidence for the r5 window-to-join rewrites (tfidf df,
     minhash bucket cap): the claim that a word-keyed JOIN skewed on a
