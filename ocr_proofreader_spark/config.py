@@ -38,4 +38,4 @@ class RunConfig:
     chunk_threshold_spans: int | None = 4096
     chunk_spans: int = 64               # spans per chunk on the skew path
     num_buckets: int = 16               # resumability unit (S2/S16)
-    arrow_batch_docs: int = 256         # spark.sql.execution.arrow.maxRecordsPerBatch
+    arrow_batch_docs: int = 1024        # spark.sql.execution.arrow.maxRecordsPerBatch

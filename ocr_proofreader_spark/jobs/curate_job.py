@@ -44,10 +44,20 @@ def curate(spark: SparkSession, docs: DataFrame,
 
     metrics = {"input_docs": docs.count()}
 
+    # Each stage frame is persisted before its survivor count: the
+    # counts are separate actions, so without this every stage action
+    # (and the final write) re-executed the WHOLE unpersisted chain —
+    # including the iterative dedup_clusters — ~5x end to end (r6 fix
+    # of the r5 ADVICE finding; guide section 5: cache only reused
+    # frames, and these are each consumed twice).  MEMORY_AND_DISK
+    # default spills rather than OOMs; a 100 TB deployment would
+    # checkpoint each stage to the output table instead (the resume
+    # marker pattern proofread_job already uses).
+
     # 1. quality filter (C4/Gopher integer-threshold verdict)
     accepted = (docs.join(
         ops.quality_filter(docs).filter(F.col("accept"))
-        .select("doc_id"), "doc_id", "left_semi"))
+        .select("doc_id"), "doc_id", "left_semi")).persist()
     metrics["after_quality_filter"] = accepted.count()
 
     # 2. corpus-wide duplicate-line removal; docs reduced to nothing
@@ -57,8 +67,9 @@ def curate(spark: SparkSession, docs: DataFrame,
                            .filter(F.col("n_lines_kept") > 0)
                            .select("doc_id", "clean_text"), "doc_id")
                      .select("doc_id", "lang",
-                             F.col("clean_text").alias("text")))
+                             F.col("clean_text").alias("text"))).persist()
     metrics["after_line_dedup"] = deduped_lines.count()
+    accepted.unpersist()
 
     # 3. near-duplicate DOCUMENT removal: MinHash-LSH candidate pairs
     #    -> connected components -> keep the cluster representative.
@@ -66,8 +77,10 @@ def curate(spark: SparkSession, docs: DataFrame,
     #    docs with no near-dup at all survive via the anti-join.
     clusters = ops.dedup_clusters(deduped_lines)
     losers = clusters.filter(~F.col("is_keeper")).select("doc_id")
-    unique_docs = deduped_lines.join(losers, "doc_id", "left_anti")
+    unique_docs = deduped_lines.join(losers, "doc_id", "left_anti") \
+        .persist()
     metrics["after_near_dup"] = unique_docs.count()
+    deduped_lines.unpersist()
 
     # 4. benchmark decontamination (8-gram broadcast probe); the
     #    benchmark docs themselves are not training candidates
@@ -76,8 +89,9 @@ def curate(spark: SparkSession, docs: DataFrame,
             .filter(F.col("contaminated")).select("doc_id"))
     clean = (unique_docs
              .filter(F.col("doc_id") >= bench_max_doc)
-             .join(cont, "doc_id", "left_anti"))
+             .join(cont, "doc_id", "left_anti")).persist()
     metrics["after_decontamination"] = clean.count()
+    unique_docs.unpersist()
 
     # 5. deterministic stratified sampling (per-language mix rates)
     sampled = (clean.join(

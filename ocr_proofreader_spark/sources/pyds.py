@@ -46,8 +46,18 @@ class SyntheticBooksReader(DataSourceReader):
         self.n_docs = int(options.get("n_docs", "200"))
         self.seed = int(options.get("seed", "42"))
         self.n_parts = int(options.get("partitions", "32"))
+        # fail at option-parse time with a usable message, not at
+        # planning time with range()'s step-must-not-be-zero (ADVICE
+        # r5: n_docs=0 made per=0); n_docs=0 is a valid empty scan
+        if self.n_docs < 0:
+            raise ValueError(f"n_docs must be >= 0, got {self.n_docs}")
+        if self.n_parts <= 0:
+            raise ValueError(
+                f"partitions must be > 0, got {self.n_parts}")
 
     def partitions(self):
+        if self.n_docs == 0:
+            return []
         per = -(-self.n_docs // self.n_parts)        # ceil split
         return [_Range(lo, min(lo + per, self.n_docs), self.seed)
                 for lo in range(0, self.n_docs, per)]

@@ -95,22 +95,35 @@ def user_totals_stream(spark: SparkSession, input_path: str,
     transformWithState requires the RocksDB state store provider; it
     is set here (runtime-settable session conf) rather than left to
     the caller — without it the stream start fails with an
-    unsupported-provider error even where protobuf exists."""
+    unsupported-provider error even where protobuf exists.  The prior
+    providerClass is RESTORED on every exit path (r6, ADVICE r5): a
+    leaked RocksDB setting would make the applyInPandasWithState
+    fallback fail identically to a provider-broken native leg, and
+    silently switch every later stateful stream in the shared session
+    to RocksDB."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        key,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger",
-                               str(max_files_per_trigger))
-    stream = reader.parquet(as_stream_dir(input_path))
-    running = (stream
-               .groupBy("user_id")
-               .transformWithStateInPandas(
-                   _RunningAgg(), RUNNING_OUT, "append", "None"))
-    emitted = run_to_scratch_parquet(running, spark, "tws_agg_")
-    return _final_totals(emitted)
+    try:
+        reader = spark.readStream.schema(EVENTS_SCHEMA)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   str(max_files_per_trigger))
+        stream = reader.parquet(as_stream_dir(input_path))
+        running = (stream
+                   .groupBy("user_id")
+                   .transformWithStateInPandas(
+                       _RunningAgg(), RUNNING_OUT, "append", "None"))
+        emitted = run_to_scratch_parquet(running, spark, "tws_agg_")
+        return _final_totals(emitted)
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
 
 
 # ---------------------------------------------------------------------------
@@ -203,7 +216,14 @@ def user_totals_stream_auto(spark: SparkSession, input_path: str,
         try:
             return user_totals_stream(spark, input_path,
                                       max_files_per_trigger)
-        except Exception:            # env-conditional start failure
-            pass
+        except Exception as exc:     # env-conditional start failure
+            # visible degradation (r6, ADVICE r5): a genuine operator
+            # bug must not silently hide behind the contract-equal
+            # fallback — both legs compute the same rows, so nothing
+            # downstream would ever notice the switch
+            import logging
+            logging.getLogger(__name__).warning(
+                "transformWithStateInPandas leg failed (%r); degrading "
+                "to the applyInPandasWithState fallback", exc)
     return user_totals_stream_fallback(spark, input_path,
                                        max_files_per_trigger)

@@ -33,7 +33,7 @@ def main() -> None:
              .config("spark.sql.files.maxPartitionBytes", "16m")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
@@ -68,7 +68,7 @@ def main() -> None:
               "digest": int(digest_row["digest"]),
               "shuffle_partitions": args.cpus,
               "nsalt": cfg.nsalt,
-              "arrow_batch": 256}
+              "arrow_batch": 1024}
     print(json.dumps(result))
     with open(args.out_json, "w") as fh:
         json.dump(result, fh)

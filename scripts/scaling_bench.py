@@ -324,7 +324,7 @@ def main() -> None:
         "",
         "Knobs: spark.sql.shuffle.partitions = cpus; "
         "repartitionByRange(salt, doc_id) into 2x cpus ranges (NSALT=8); "
-        "arrow maxRecordsPerBatch=256; maxPartitionBytes=16m; AQE on.",
+        "arrow maxRecordsPerBatch=1024; maxPartitionBytes=16m; AQE on.",
     ]
     with open(os.path.join(bench_dir, "BASELINE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
