@@ -38,8 +38,15 @@ def build_session(app: str, master: str | None = None,
             .config("spark.sql.shuffle.partitions", str(cores))
             .config("spark.driver.memory", "24g")
             # python-heavy scans want more, smaller input splits than the
-            # 128MB default so no core idles behind a straggler file
-            .config("spark.sql.files.maxPartitionBytes", "16m")
+            # 128MB default so no core idles behind a straggler file;
+            # 8m ~= two scheduling waves over the bench corpus, which
+            # measured ~18% faster than 16m for the Arrow/Python stage
+            # (r6; 4m regressed — per-task overhead wins).  Env knob so
+            # a JVM-scan-heavy deployment can restore a larger split
+            # without editing code (guide sections 2.5/6.1)
+            .config("spark.sql.files.maxPartitionBytes",
+                    os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                                   "8m"))
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
             .config("spark.sql.session.timeZone", "UTC")

@@ -283,7 +283,7 @@ def proofread(spark: SparkSession, docs: DataFrame,
     small = docs.filter(size_col <= cfg.chunk_threshold_spans)
     big = docs.filter(size_col > cfg.chunk_threshold_spans)
     if "n_spans" in docs.columns and not docs.isStreaming \
-            and big.limit(1).count() == 0:
+            and big.isEmpty():
         # Giant books are rare: most runs carry NONE, yet the union arm
         # still costs the chunked plan's two extra scans and ~5 empty
         # exchange stages (~0.6 s/bench run, r6).  With a persisted
